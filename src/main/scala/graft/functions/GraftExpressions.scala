@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cell.CellIndex
+import graft.geo.{GeoTag, Polygon}
+
+/**
+ * Native Catalyst expressions for the cell index, geotagger and PIP
+ * kernel (SURVEY.md §2.11, §4.3). All scalar expressions implement
+ * `doGenCode` via `defineCodeGen` emitting a static call into the pure
+ * Scala kernels — the same structure Spark uses for its own
+ * regexp/url expressions: the generated code stays inside whole-stage
+ * codegen (no boxing, no UDF serialization), while the kernel logic
+ * lives in one unit-tested object.
+ *
+ * Reference semantics grafted here:
+ *  - cell encode/decode = the affine world<->pixel transform + block
+ *    grid of geoRpro (raster.py:287-291, 450-455, 467-491)
+ *  - point_in_poly = rasterio mask-by-geometry / shapely within
+ *    (raster.py:396-422, script/filter_shapes.py:49)
+ *  - norm_diff = the Indexes family's fused normalized difference with
+ *    exact numpy float32 + NaN->0 semantics (raster.py:544-555)
+ */
+object kernels { // static-call targets for generated code
+  def geotagLon(url: UTF8String): Double = GeoTag.lon(url.toString)
+  def geotagLat(url: UTF8String): Double = GeoTag.lat(url.toString)
+}
+
+case class GeotagLon(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geotag_lon"
+  protected override def nullSafeEval(url: Any): Any =
+    kernels.geotagLon(url.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.geotagLon($c)")
+  override protected def withNewChildInternal(c: Expression): GeotagLon = copy(c)
+}
+
+case class GeotagLat(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geotag_lat"
+  protected override def nullSafeEval(url: Any): Any =
+    kernels.geotagLat(url.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.kernels.geotagLat($c)")
+  override protected def withNewChildInternal(c: Expression): GeotagLat = copy(c)
+}
+
+/** cell_of(lon, lat, res) -> packed long (CellIndex.encode). */
+case class CellOf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(DoubleType, DoubleType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_of"
+  protected override def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    CellIndex.encode(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, r) =>
+      s"graft.cell.CellIndex.encode($lon, $lat, $r)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): CellOf = copy(f, s, t)
+}
+
+/** cell_parent(cell, steps) -> packed long one-or-more levels up. */
+case class CellParent(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_parent"
+  protected override def nullSafeEval(cell: Any, steps: Any): Any =
+    CellIndex.parent(cell.asInstanceOf[Long], steps.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, s) => s"graft.cell.CellIndex.parent($c, $s)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellParent = copy(l, r)
+}
+
+case class CellChildren(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_children"
+  protected override def nullSafeEval(cell: Any): Any =
+    new GenericArrayData(CellIndex.children(cell.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.cell.CellIndex.children($c))")
+  override protected def withNewChildInternal(c: Expression): CellChildren = copy(c)
+}
+
+/** cell_disk(cell, k): all cells within Chebyshev distance k (kRing disk). */
+case class CellDisk(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_disk"
+  protected override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(CellIndex.disk(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.cell.CellIndex.disk($c, $k))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellDisk = copy(l, r)
+}
+
+/** cell_ring(cell, k): cells at exactly Chebyshev distance k. */
+case class CellRing(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_ring"
+  protected override def nullSafeEval(cell: Any, k: Any): Any =
+    new GenericArrayData(CellIndex.ring(cell.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, k) =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(graft.cell.CellIndex.ring($c, $k))")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CellRing = copy(l, r)
+}
+
+case class CellCenterLon(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_center_lon"
+  protected override def nullSafeEval(cell: Any): Any =
+    CellIndex.centerLon(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.centerLon($c)")
+  override protected def withNewChildInternal(c: Expression): CellCenterLon = copy(c)
+}
+
+case class CellCenterLat(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_center_lat"
+  protected override def nullSafeEval(cell: Any): Any =
+    CellIndex.centerLat(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.centerLat($c)")
+  override protected def withNewChildInternal(c: Expression): CellCenterLat = copy(c)
+}
+
+/** cell_x / cell_y: decoded grid coordinates (for window predicates). */
+case class CellX(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_x"
+  protected override def nullSafeEval(cell: Any): Any =
+    CellIndex.xOf(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.xOf($c)")
+  override protected def withNewChildInternal(c: Expression): CellX = copy(c)
+}
+
+case class CellY(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_y"
+  protected override def nullSafeEval(cell: Any): Any =
+    CellIndex.yOf(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.yOf($c)")
+  override protected def withNewChildInternal(c: Expression): CellY = copy(c)
+}
+
+/**
+ * point_in_poly(lon, lat) against a polygon fixed at plan time.
+ * The polygon rides along as a reference object in the generated class
+ * (ctx.addReferenceObj), exactly how Spark's regexp expressions carry
+ * their compiled Pattern — the strip-indexed ray-casting kernel runs
+ * inside whole-stage codegen.
+ */
+case class PointInPoly(left: Expression, right: Expression, poly: Polygon)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "point_in_poly"
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    poly.contains(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("poly", poly, classOf[Polygon].getName)
+    defineCodeGen(ctx, ev, (lon, lat) => s"$ref.contains($lon, $lat)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PointInPoly = copy(l, r)
+}
+
+/**
+ * norm_diff(a, b): float32 (a-b)/(a+b) with numpy parity — computed in
+ * single precision, divide-by-zero/invalid produce NaN/Inf which are
+ * mapped to 0.0f (np.nan_to_num-free variant of raster.py:552-553:
+ * `np.nanto..`, i.e. NaN->0 while +-Inf cannot arise since 0/0 is the
+ * only singular case for equal-sign bands; we still map Inf->0
+ * defensively). Scaling ×1000 + truncation toward zero
+ * (raster.py:537-541) is composed downstream as cast(norm_diff*1000 as
+ * long) — Spark's double->long cast truncates toward zero exactly like
+ * numpy's astype(int).
+ */
+object kernels2 {
+  def normDiff(a: Float, b: Float): Float = {
+    val v = (a - b) / (a + b)
+    if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v)) 0.0f else v
+  }
+}
+
+case class NormDiff(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = FloatType
+  override def inputTypes = Seq(FloatType, FloatType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "norm_diff"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    kernels2.normDiff(a.asInstanceOf[Float], b.asInstanceOf[Float])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.kernels2.normDiff($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NormDiff = copy(l, r)
+}

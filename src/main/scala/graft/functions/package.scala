@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions.lit
+
+import graft.geo.Polygon
+
+/**
+ * Public Column API over the native expressions (the `functions._` of
+ * this engine). Every function returns a codegen'd Column — no UDFs.
+ */
+package object functions {
+
+  /** Deterministic URL -> longitude (SURVEY.md F16). */
+  def geotag_lon(url: Column): Column = toCol(GeotagLon(toExpr(url)))
+
+  /** Deterministic URL -> latitude. */
+  def geotag_lat(url: Column): Column = toCol(GeotagLat(toExpr(url)))
+
+  /** Packed-long cell of (lon, lat) at resolution res (SURVEY.md F15). */
+  def cell_of(lon: Column, lat: Column, res: Int): Column =
+    toCol(CellOf(toExpr(lon), toExpr(lat), toExpr(lit(res))))
+
+  def cell_parent(cell: Column, steps: Int = 1): Column =
+    toCol(CellParent(toExpr(cell), toExpr(lit(steps))))
+
+  def cell_children(cell: Column): Column = toCol(CellChildren(toExpr(cell)))
+
+  def cell_disk(cell: Column, k: Int): Column =
+    toCol(CellDisk(toExpr(cell), toExpr(lit(k))))
+
+  def cell_ring(cell: Column, k: Int): Column =
+    toCol(CellRing(toExpr(cell), toExpr(lit(k))))
+
+  def cell_center_lon(cell: Column): Column = toCol(CellCenterLon(toExpr(cell)))
+  def cell_center_lat(cell: Column): Column = toCol(CellCenterLat(toExpr(cell)))
+  def cell_x(cell: Column): Column = toCol(CellX(toExpr(cell)))
+  def cell_y(cell: Column): Column = toCol(CellY(toExpr(cell)))
+
+  /** Exact point-in-polygon (ray casting, strip-indexed). */
+  def point_in_poly(lon: Column, lat: Column, poly: Polygon): Column =
+    toCol(PointInPoly(toExpr(lon), toExpr(lat), poly))
+
+  /** Fused float32 normalized difference (numpy parity, raster.py:544+). */
+  def norm_diff(a: Column, b: Column): Column =
+    toCol(NormDiff(toExpr(a.cast("float")), toExpr(b.cast("float"))))
+
+  /** Register the scalar functions for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graft.Bridge.register
+    register(spark, "geotag_lon", e => GeotagLon(e.head))
+    register(spark, "geotag_lat", e => GeotagLat(e.head))
+    register(spark, "cell_of", e => CellOf(e(0), e(1), e(2)))
+    register(spark, "cell_parent", e => CellParent(e(0), e(1)))
+    register(spark, "cell_children", e => CellChildren(e.head))
+    register(spark, "cell_disk", e => CellDisk(e(0), e(1)))
+    register(spark, "cell_ring", e => CellRing(e(0), e(1)))
+    register(spark, "cell_center_lon", e => CellCenterLon(e.head))
+    register(spark, "cell_center_lat", e => CellCenterLat(e.head))
+    register(spark, "cell_x", e => CellX(e.head))
+    register(spark, "cell_y", e => CellY(e.head))
+    register(spark, "norm_diff", e => NormDiff(e(0), e(1)))
+  }
+}

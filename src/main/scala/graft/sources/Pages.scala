@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's input relation: an Iceberg-style table of Common-Crawl-ish
+ * web pages `(url, warc_ts, html, text, lang)` (BASELINE.json
+ * `input_hint`), derived *deterministically* from the driver's
+ * `documents.parquet` so the DuckDB oracle can rebuild the exact same
+ * rows in SQL (no data is synthesized outside the shared derivation).
+ *
+ * Derivation (pure in doc_id/text/lang):
+ *  - tld: weighted CASE ladder on doc_id % 100 — skewed toward .de/.ru/
+ *    .jp/... to manufacture pathological hot cells (SURVEY.md §4.3:
+ *    every *.de page lands within +-2 deg of one centroid).
+ *  - url  = 'https://h{doc_id}.example.{tld}/p'
+ *  - warc_ts = epoch 2024-01-01T00:00:00Z + (doc_id % 86400)*37 sec
+ *  - html = '<html><head><title>d{doc_id}</title></head><body><p>' ||
+ *           text || '</p></body></html>' as UTF-8 binary — `text` is
+ *    recoverable byte-identically (the extraction invariant).
+ *
+ * This object is the catalog layer (the `Sentinel2` analog, geoRpro
+ * sent2.py:5-75): it resolves named tables under a scale-factor dir.
+ */
+object Pages {
+
+  /** (upper-exclusive bound on doc_id%100) -> tld, ascending. Mirrors
+    * Oracle.tldCaseSql — keep the two in sync. */
+  val tldLadder: Seq[(Int, String)] = Seq(
+    20 -> "de", 35 -> "ru", 45 -> "jp", 53 -> "uk", 60 -> "fr",
+    66 -> "br", 72 -> "in", 77 -> "cn", 81 -> "it", 85 -> "nl",
+    88 -> "pl", 91 -> "es", 94 -> "au", 97 -> "us", 100 -> "io")
+
+  val Epoch: Long = 1704067200L // 2024-01-01T00:00:00Z
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def tldCol(docId: Column): Column = {
+    val t = docId % 100
+    tldLadder.init.foldRight(lit(tldLadder.last._2)) {
+      case ((bound, tld), elseCol) => when(t < bound, tld).otherwise(elseCol)
+    }
+  }
+
+  /** The page table (keeps doc_id/source/n_chars as lineage columns). */
+  def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir)
+    d.select(
+        col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), tldCol(col("doc_id")).as("tld"))
+      .withColumn("url",
+        concat(lit("https://h"), col("doc_id"), lit(".example."),
+          col("tld"), lit("/p")))
+      .withColumn("host",
+        concat(lit("h"), col("doc_id"), lit(".example."), col("tld")))
+      .withColumn("ts_epoch", lit(Epoch) + (col("doc_id") % 86400) * 37)
+      .withColumn("warc_ts", timestamp_seconds(col("ts_epoch")))
+      .withColumn("html",
+        concat(lit("<html><head><title>d"), col("doc_id"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p></body></html>")).cast("binary"))
+  }
+
+  /** Pages + geotag + cell at the given resolution — the standard
+    * "georeferenced scan" every spatial operator starts from. */
+  def geoPages(spark: SparkSession, dir: String, res: Int): DataFrame = {
+    import graft.functions._
+    fromDocuments(spark, dir)
+      .withColumn("lon", geotag_lon(col("url")))
+      .withColumn("lat", geotag_lat(col("url")))
+      .withColumn("cell", cell_of(col("lon"), col("lat"), res))
+  }
+}
