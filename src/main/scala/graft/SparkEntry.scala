@@ -1,19 +1,28 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.oracle.Oracle
-import graft.sources.Pages
+import graft.geo.Polygon
+import graft.ops._
+import graft.oracle.{Oracle, OracleQueries}
+import graft.sources.{Pages, Points}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each `queries` entry exercises one operator family from SURVEY.md §2
   * over the driver's parquet tables; the paired `oracleSql` re-derives
   * the same result in DuckDB SQL (including the geotag + Morton cell
-  * encoding, re-implemented independently in SQL by graft.oracle.Oracle)
-  * so the correctness gate checks the engine bit-for-bit.
+  * encoding + PIP, re-implemented independently in SQL by
+  * graft.oracle.Oracle) so the correctness gate checks the engine
+  * bit-for-bit.
+  *
+  * Float determinism rules (local[8] == local[32] == DuckDB):
+  * aggregate in exact integer arithmetic (Long sums, money as cents via
+  * round(x*100)), derive doubles only by closed-form division of exact
+  * sums; float32 index math is bit-matched by DuckDB REAL arithmetic.
   */
 object SparkEntry {
 
@@ -21,10 +30,14 @@ object SparkEntry {
   val Res = 12
   /** Tile resolution for density rollups (64 x 64 world grid). */
   val TileRes = 6
+  /** Coarser page-raster resolution for point-join operators. */
+  val JoinRes = 8
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     qTileDensity(spark, "/root/testdata/sf0.001")
+
+  // ---- relational anchors -------------------------------------------------
 
   /** S1/S2 scan + A1-style agg on lineitem — harness sanity anchor. */
   def qTpchAgg(spark: SparkSession, dir: String): DataFrame =
@@ -34,6 +47,32 @@ object SparkEntry {
         round(sum("l_quantity"), 2).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast equi-join + exact-cents agg (J-class anchor; money kept
+    * in integer cents so the sum is order-independent). */
+  def qTpchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Pages.table(spark, dir, "lineitem")
+    val o = Pages.table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"),
+        count(lit(1)).as("n_items"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Event-time tumbling window agg (batch form; §2.10 note). */
+  def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Pages.table(spark, dir, "events")
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .orderBy("event_type", "hour_epoch")
+
+  // ---- geotag / cells / tiles ---------------------------------------------
 
   /** F16 + F15: deterministic geotag + packed-long cell encode
     * (codegen'd Catalyst expressions), verified bit-for-bit. */
@@ -54,26 +93,225 @@ object SparkEntry {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("tile")
 
+  // ---- masking family (P1-P3) ---------------------------------------------
+
+  /** P1+P2+P3: mask n_chars where lang ∈ vals (the SCL cloud-class
+    * mask analog), fill with the reference's 9999 sentinel, aggregate. */
+  def qMaskFill(spark: SparkSession, dir: String): DataFrame =
+    Pages.fromDocuments(spark, dir)
+      .select(col("source"),
+        Mask.applyMask(
+          Mask.maskCond(col("n_chars"), col("lang").isin("en", "de")),
+          9999).as("b1"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b1") === 9999, 1L).otherwise(0L)).as("n_masked"),
+        sum("b1").as("sum_b1"))
+      .orderBy("source")
+
+  /** A1: value histogram (np.unique(return_counts=True) analog). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Pages.fromDocuments(spark, dir)
+      .groupBy(col("lang"), (col("n_chars") / 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "bucket")
+
+  // ---- clips (S3/S4) ------------------------------------------------------
+
+  /** S3 `load_window`: rectangular clip with cover-range pushdown. */
+  def qClipWindow(spark: SparkSession, dir: String): DataFrame =
+    Clip.window(Pages.geoPages(spark, dir, Res), Res, 0.0, 40.0, 20.0, 55.0)
+      .groupBy("tld")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+      .orderBy("tld")
+
+  /** S4 polygon clip: cover prefilter + exact ray-casting PIP over a
+    * CONCAVE polygon (the DuckDB oracle re-derives the same even-odd
+    * crossing test in SQL). */
+  def qClipPoly(spark: SparkSession, dir: String): DataFrame =
+    Clip.byPolygon(Pages.geoPages(spark, dir, Res),
+        Polygon.registry("asia_l"), Res)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("tld").as("n_tlds"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("lang")
+
+  // ---- extents / overlaps (A10, J2, J5) -----------------------------------
+
+  /** A10: per-source extent (bbox union of its pages). */
+  def qExtent(spark: SparkSession, dir: String): DataFrame =
+    Overlaps.extents(Pages.geoPages(spark, dir, Res), "source")
+      .orderBy("src")
+
+  /** J2: all-pairs extent-overlap self-join (upper triangle) with
+    * intersection boxes. */
+  def qOverlaps(spark: SparkSession, dir: String): DataFrame =
+    Overlaps.allPairs(Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"))
+      .orderBy("src_a", "src_b")
+
+  /** J5: semi-join — keep (source, lang) extents containing >= 1
+    * Japanese customer point (LEFT SEMI replaces the break-on-first). */
+  def qSemiPoints(spark: SparkSession, dir: String): DataFrame = {
+    val ext = Pages.geoPages(spark, dir, Res)
+      .groupBy(col("source"), col("lang"))
+      .agg(min("lon").as("lon_min"), min("lat").as("lat_min"),
+        max("lon").as("lon_max"), max("lat").as("lat_max"))
+    val jpPts = Points.fromTable(spark, dir, "customer", "c_custkey",
+      Nil, "c").filter(col("tld") === "jp").select("lon", "lat")
+    Overlaps.overlapsAnyPoint(ext, jpPts)
+      .select("source", "lang").orderBy("source", "lang")
+  }
+
+  // ---- resample / pyramid / vectorize (R1, R3, A12) -----------------------
+
+  private def cellCounts(spark: SparkSession, dir: String, res: Int): DataFrame =
+    Pages.geoPages(spark, dir, res).groupBy("cell").agg(count(lit(1)).as("v"))
+
+  /** R1 downsample, both "sum" and GDAL-nearest-parity selectors. */
+  def qResample(spark: SparkSession, dir: String): DataFrame = {
+    val base = cellCounts(spark, dir, Res)
+    val s = Resample.downsample(base, "v", 2, "sum").withColumnRenamed("v", "v_sum")
+    val n = Resample.downsample(base, "v", 2, "nearest").withColumnRenamed("v", "v_near")
+    s.join(n, Seq("cell")).orderBy("cell")
+  }
+
+  /** R1 upsample: res-6 tiles explode to res-7 children (no shuffle). */
+  def qUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = Tiles.rasterize(Pages.geoPages(spark, dir, Res), Res, TileRes)
+      .select(col("tile").as("cell"), col("n_pages"))
+    Resample.upsample(tiles, Seq("n_pages")).orderBy("cell")
+  }
+
+  /** R3 tile pyramid: iterative parent rollup res 12 -> 6, each level
+    * aggregated FROM the previous level. */
+  def qPyramid(spark: SparkSession, dir: String): DataFrame =
+    Resample.pyramid(cellCounts(spark, dir, Res), Res, TileRes, "v", "sum")
+      .orderBy("level", "cell")
+
+  /** Vectorize: dense tiles back to geometry rows (bbox + center). */
+  def qVectorize(spark: SparkSession, dir: String): DataFrame =
+    Tiles.vectorize(
+      Tiles.rasterize(Pages.geoPages(spark, dir, Res), Res, TileRes)
+        .filter(col("n_pages") >= 5)
+        .select("tile", "n_pages"))
+      .orderBy("tile")
+
+  // ---- stack + spectral indexes (U1, F1-F5) -------------------------------
+
+  /** U1 + F1-F4: per-cell band stack (ordered multi-way cell join) and
+    * the four normalized-difference indexes with exact numpy float32 +
+    * truncation semantics. */
+  def qStackIndexes(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Pages.geoPages(spark, dir, 10)
+    def band(name: String, agg: org.apache.spark.sql.Column): DataFrame =
+      geo.groupBy("cell").agg(agg.as(name))
+    val stacked = Stack.stack(Seq(
+      "red" -> band("red", sum("n_chars")),
+      "nir" -> band("nir", count(lit(1)) * 500),
+      "green" -> band("green", sum(col("doc_id") % 100)),
+      "swir" -> band("swir", max("n_chars")),
+      "blue" -> band("blue", min("n_chars"))))
+    stacked.select(col("cell"),
+        Indexes.ndvi(col("nir"), col("red")).as("ndvi"),
+        Indexes.nbr(col("nir"), col("swir")).as("nbr"),
+        Indexes.bsi(col("swir"), col("red"), col("nir"), col("blue")).as("bsi"),
+        Indexes.ndwi(col("green"), col("nir")).as("ndwi"))
+      .orderBy("cell")
+  }
+
+  // ---- mosaic (S8/A11) ----------------------------------------------------
+
+  /** S8/A11: nodata-aware first-non-null mosaic in source order
+    * (min_by explicit total order — deterministic at any parallelism). */
+  def qMosaic(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Pages.geoPages(spark, dir, Res)
+    val firstTen = (0 until 10).map(i => s"src$i")
+    def side(p: DataFrame => DataFrame): DataFrame =
+      p(geo).groupBy("cell").agg(sum("n_chars").as("v"))
+        .withColumn("v", when(col("v") % 10 === 0, lit(null)).otherwise(col("v")))
+    val a = side(_.filter(col("source").isin(firstTen: _*)))
+    val b = side(_.filter(!col("source").isin(firstTen: _*)))
+    Mosaic.mosaic(Seq(a, b), "v").orderBy("cell")
+  }
+
+  // ---- calibration (A3-A6, F8) --------------------------------------------
+
+  /** A5/A6: per-lang linear fit y~x between two source groups' per-cell
+    * counts over their overlap (exact integer-sum closed forms). */
+  def qCalibrate(spark: SparkSession, dir: String): DataFrame = {
+    val geo = Pages.geoPages(spark, dir, JoinRes)
+    val firstTen = (0 until 10).map(i => s"src$i")
+    val x = geo.filter(col("source").isin(firstTen: _*))
+      .groupBy("cell", "lang").agg(count(lit(1)).as("x"))
+    val y = geo.filter(!col("source").isin(firstTen: _*))
+      .groupBy("cell", "lang").agg(count(lit(1)).as("y"))
+    val pairs = x.join(y, Seq("cell", "lang"))
+    Calibrate.linearFit(pairs, "x", "y", Seq("lang")).orderBy("lang")
+  }
+
+  /** F8 array_correction semantics (negative-revert + uint16 wrap),
+    * applied to per-cell values against a constant intercept. */
+  def qCorrection(spark: SparkSession, dir: String): DataFrame =
+    cellCounts(spark, dir, 10)
+      .select(col("cell"),
+        Calibrate.arrayCorrection(col("v") * 7, lit(10)).as("corrected"))
+      .orderBy("cell")
+
+  // ---- zonal extraction (J1) ----------------------------------------------
+
+  /** J1 DataExtractor.extract: labeled points x page-raster equi-join
+    * on the packed cell id; out-of-raster points vanish via inner join. */
+  def qExtract(spark: SparkSession, dir: String): DataFrame = {
+    val points = Points.fromTable(spark, dir, "customer", "c_custkey",
+      Seq("c_mktsegment"), "c")
+    val raster = Pages.geoPages(spark, dir, JoinRes)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pages"), sum("n_chars").as("sum_chars"))
+    Extract.extract(points, raster, JoinRes, Seq("n_pages", "sum_chars"))
+      .select(col("pid"), col("c_mktsegment").as("segment"),
+        col("n_pages"), col("sum_chars"))
+      .orderBy("pid")
+  }
+
+  // ---- kNN (ring expansion) -----------------------------------------------
+
+  /** Cell-ring-expansion kNN join: 25 nation query points x pages,
+    * k=5, exact (disk-guarantee + brute-force residue). */
+  def qKnn(spark: SparkSession, dir: String): DataFrame = {
+    val points = Points.fromTable(spark, dir, "nation", "n_nationkey", Nil, "n")
+      .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val pages = Pages.geoPages(spark, dir, JoinRes)
+      .select(col("cell"), col("doc_id").as("id"), col("lon"), col("lat"))
+    Knn.knnJoin(points, pages, JoinRes, 5).orderBy("qid", "rank")
+  }
+
+  // ---- registry -----------------------------------------------------------
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_agg" -> (qTpchAgg _),
+    "q_tpch_join" -> (qTpchJoin _),
+    "q_events_hourly" -> (qEventsHourly _),
     "q_geotag" -> (qGeotag _),
-    "q_tile_density" -> (qTileDensity _)
+    "q_tile_density" -> (qTileDensity _),
+    "q_mask_fill" -> (qMaskFill _),
+    "q_histogram" -> (qHistogram _),
+    "q_clip_window" -> (qClipWindow _),
+    "q_clip_poly" -> (qClipPoly _),
+    "q_extent" -> (qExtent _),
+    "q_overlaps" -> (qOverlaps _),
+    "q_semi_points" -> (qSemiPoints _),
+    "q_resample" -> (qResample _),
+    "q_upsample" -> (qUpsample _),
+    "q_pyramid" -> (qPyramid _),
+    "q_vectorize" -> (qVectorize _),
+    "q_stack_indexes" -> (qStackIndexes _),
+    "q_mosaic" -> (qMosaic _),
+    "q_calibrate" -> (qCalibrate _),
+    "q_correction" -> (qCorrection _),
+    "q_extract" -> (qExtract _),
+    "q_knn" -> (qKnn _)
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "q_tpch_agg" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-        |count(*) AS n_rows FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_geotag" ->
-      s"""${Oracle.geoPrefix(Res)}
-         |SELECT doc_id, url, lon, lat, cell FROM enc ORDER BY doc_id""".stripMargin,
-
-    "q_tile_density" ->
-      s"""${Oracle.geoPrefix(Res)}
-         |SELECT ${Oracle.parentSql("cell", Res, Res - TileRes)} AS tile,
-         |  count(*) AS n_pages, count(DISTINCT lang) AS n_langs,
-         |  count(DISTINCT source) AS n_sources, sum(n_chars) AS sum_chars
-         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin
-  )
+  def oracleSql: Map[String, String] = OracleQueries.all
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * Zonal / point extraction (SURVEY.md J1; geoRpro `DataExtractor`,
+ * extract.py:149-214) — the reference's nested per-geometry loop
+ * re-expressed as a single equi-join on the packed cell id:
+ *
+ *   points.withColumn(cell) JOIN raster ON cell
+ *
+ * Out-of-raster points disappear via the inner join (the ValueError
+ * skip, extract.py:193-198); fully-masked rows drop via the sentinel
+ * re-detection filter (extract.py:205-207). The points side is small
+ * (labeled training points) and broadcast.
+ */
+object Extract {
+
+  /** Labeled point table contract (extract.py:160-161 GeoDataFrame
+    * schema `(geometry, classname: str, id: int)`). */
+  def pointsWithCells(points: DataFrame, res: Int): DataFrame =
+    points.withColumn("cell", cell_of(col("lon"), col("lat"), res))
+
+  /**
+   * J1: per-point band extraction. `raster` = (cell, band columns...).
+   * Emits one row per (point x covered cell) with bands + label —
+   * `X: [points, bands], y` in relational form (extract.py:55-60).
+   */
+  def extract(points: DataFrame, raster: DataFrame, res: Int,
+              bands: Seq[String], sentinel: Option[Any] = None): DataFrame = {
+    val p = pointsWithCells(points, res)
+    val joined = raster.join(broadcast(p), Seq("cell"))
+    sentinel match {
+      case Some(s) => Mask.dropFullyMasked(joined, bands, s)
+      case None => joined
+    }
+  }
+
+  /** A2: label histogram (np.unique(return_counts=True), extract.py:60). */
+  def labelHistogram(xy: DataFrame): DataFrame =
+    xy.groupBy("label_id").agg(count(lit(1)).as("n"))
+
+  /** U2 `add_class` (extract.py:70-97): append synthetic constant rows
+    * with a fresh label id = max+1 and the max existing class count. */
+  def addClass(xy: DataFrame, bands: Seq[String], value: Double,
+               classname: String): DataFrame = {
+    val spark = xy.sparkSession
+    val stats = xy.groupBy("label_id").agg(count(lit(1)).as("n"))
+      .agg(max("label_id").as("max_id"), max("n").as("max_n")).collect()(0)
+    val newId = stats.getAs[Long]("max_id") + 1
+    val n = stats.getAs[Long]("max_n")
+    val synth = spark.range(n)
+      .select(bands.map(b => lit(value).as(b)) ++
+        Seq(lit(classname).as("classname"), lit(newId).as("label_id")): _*)
+    xy.unionByName(synth, allowMissingColumns = true)
+  }
+
+  /** U3 `remove_class` (extract.py:99-124). */
+  def removeClass(xy: DataFrame, labelId: Long): DataFrame =
+    xy.filter(col("label_id") =!= labelId)
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Extent-overlap joins (SURVEY.md J2/J3; geoRpro routines.py:140-237).
+ *
+ * The reference loops shapely `intersects` over upper-triangle pairs
+ * (gen_current_front_pairs, utils.py:91-104). Here:
+ *  - J2 all-pairs overlap = self-join of per-source extents with
+ *    `a.id < b.id` + bbox-intersect predicate. Extents are one row per
+ *    source (tiny) so Spark broadcasts; at huge source counts the same
+ *    API scales by joining on exploded cover cells first.
+ *  - J3 1xN overlap = broadcast of ONE reference extent against all
+ *    others (the find_tile_overlap shape, routines.py:182-237).
+ */
+object Overlaps {
+
+  /** Per-source bbox extents from a georeferenced page/cell table. */
+  def extents(geo: DataFrame, srcCol: String): DataFrame =
+    geo.groupBy(col(srcCol).as("src"))
+      .agg(min("lon").as("lon_min"), min("lat").as("lat_min"),
+        max("lon").as("lon_max"), max("lat").as("lat_max"))
+
+  private def bboxIntersects(a: String, b: String) =
+    (col(s"$a.lon_min") <= col(s"$b.lon_max")) &&
+      (col(s"$b.lon_min") <= col(s"$a.lon_max")) &&
+      (col(s"$a.lat_min") <= col(s"$b.lat_max")) &&
+      (col(s"$b.lat_min") <= col(s"$a.lat_max"))
+
+  /** J2: all-pairs overlapping extents, upper triangle, with the
+    * intersection box (the poly_ref.intersection analog). */
+  def allPairs(ext: DataFrame): DataFrame = {
+    val a = ext.alias("a"); val b = ext.alias("b")
+    a.join(b, col("a.src") < col("b.src") && bboxIntersects("a", "b"))
+      .select(
+        col("a.src").as("src_a"), col("b.src").as("src_b"),
+        greatest(col("a.lon_min"), col("b.lon_min")).as("ilon_min"),
+        greatest(col("a.lat_min"), col("b.lat_min")).as("ilat_min"),
+        least(col("a.lon_max"), col("b.lon_max")).as("ilon_max"),
+        least(col("a.lat_max"), col("b.lat_max")).as("ilat_max"))
+  }
+
+  /** J3: one reference source vs all others (broadcast side = 1 row). */
+  def oneVsAll(ext: DataFrame, refSrc: String): DataFrame = {
+    val ref = ext.filter(col("src") === refSrc).alias("a")
+    val rest = ext.filter(col("src") =!= refSrc).alias("b")
+    rest.join(broadcast(ref), bboxIntersects("a", "b"))
+      .select(
+        col("a.src").as("src_a"), col("b.src").as("src_b"),
+        greatest(col("a.lon_min"), col("b.lon_min")).as("ilon_min"),
+        greatest(col("a.lat_min"), col("b.lat_min")).as("ilat_min"),
+        least(col("a.lon_max"), col("b.lon_max")).as("ilon_max"),
+        least(col("a.lat_max"), col("b.lat_max")).as("ilat_max"))
+  }
+
+  /** J5 raster-overlaps-any-point semi-join (filter_imgs.py:111-127):
+    * keep sources whose extent contains >= 1 point — LEFT SEMI, the
+    * planner's early-out replaces the reference's `break`. */
+  def overlapsAnyPoint(ext: DataFrame, points: DataFrame): DataFrame =
+    ext.join(points,
+      col("lon") >= col("lon_min") && col("lon") <= col("lon_max") &&
+        col("lat") >= col("lat_min") && col("lat") <= col("lat_max"),
+      "left_semi")
+}

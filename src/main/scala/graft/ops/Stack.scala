@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.cell.CellIndex
+
+/**
+ * Band stack (SURVEY.md U1; geoRpro `Rstack`, raster.py:599-739).
+ *
+ * An Rstack is an ordered list of single-band rasters sharing one grid.
+ * Here: an ordered multi-way equi-join of per-band DataFrames
+ * `(cell, <band>)` into one wide DataFrame `(cell, b1..bn)` — with the
+ * Rstack invariants (same CRS/dims/resolution, raster.py:621-644)
+ * becoming a *plan-build-time* grid-descriptor check on the cell
+ * resolution, not a per-row runtime cost.
+ */
+object Stack {
+
+  /** Assert all inputs carry cells of the same resolution (the
+    * __check_for_crs/dimensions/resolution parity, raster.py:621-644).
+    * Cheap: inspects one row per input. */
+  def checkGrid(bands: Seq[DataFrame]): Int = {
+    val reses = bands.map { df =>
+      val first = df.select("cell").limit(1).collect()
+      if (first.isEmpty) -1 else CellIndex.resolution(first(0).getLong(0))
+    }
+    val present = reses.filter(_ >= 0).distinct
+    require(present.size <= 1,
+      s"stack items on different grids: resolutions $present")
+    if (present.isEmpty) -1 else present.head
+  }
+
+  /** Build the stack: full outer join on cell so partial coverage
+    * surfaces as nulls (masked), preserving band order (band order is
+    * semantically meaningful — reorder_items, raster.py:702-713). */
+  def stack(bands: Seq[(String, DataFrame)], check: Boolean = true): DataFrame = {
+    if (check) checkGrid(bands.map(_._2))
+    bands.map { case (name, df) =>
+      df.select(col("cell"), col(df.columns.filterNot(_ == "cell").head).as(name))
+    }.reduce((a, b) => a.join(b, Seq("cell"), "full_outer"))
+  }
+
+  /** reorder_items analog: project bands in a new order. */
+  def reorder(stacked: DataFrame, order: Seq[String]): DataFrame =
+    stacked.select((col("cell") +: order.map(col)): _*)
+}

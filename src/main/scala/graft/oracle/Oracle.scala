@@ -42,12 +42,14 @@ object Oracle {
     s"(${hv(c, o0 + 1)}*4096 + ${hv(c, o0 + 2)}*256 + " +
       s"${hv(c, o0 + 3)}*16 + ${hv(c, o0 + 4)})"
 
-  val tldCase: String = {
+  /** Weighted tld ladder over an arbitrary mod-100 SQL expression. */
+  def tldCaseOn(expr: String): String = {
     val whens = Pages.tldLadder.init
-      .map { case (b, t) => s"WHEN (doc_id % 100) < $b THEN '$t'" }
+      .map { case (b, t) => s"WHEN $expr < $b THEN '$t'" }
     (Seq("CASE") ++ whens ++ Seq(s"ELSE '${Pages.tldLadder.last._2}' END"))
       .mkString(" ")
   }
+  val tldCase: String = tldCaseOn("(doc_id % 100)")
 
   private def centroidCase(pick: ((Double, Double)) => Double): String = {
     val whens = GeoTag.centroids.toSeq.sortBy(_._1)
@@ -67,35 +69,98 @@ object Oracle {
        |  FROM (SELECT *, $tldCase AS tld FROM documents)
        |)""".stripMargin
 
-  /** `geo` CTE chain: md5-jittered ccTLD centroid (GeoTag.lonLat). */
-  val geoCte: String =
-    s"""geo0 AS (SELECT *, md5(host) AS md FROM pages),
-       |geo1 AS (SELECT *, ${h4("md", 0)} AS j0, ${h4("md", 4)} AS j4,
+  /** Generic geo CTE chain: `src` (needs `host`, `tld` columns) ->
+    * relation `out` with lon/lat (md5-jittered ccTLD centroid,
+    * GeoTag.lonLat parity). */
+  def geoChain(src: String, out: String): String =
+    s"""${out}0 AS (SELECT *, md5(host) AS md FROM $src),
+       |${out}1 AS (SELECT *, ${h4("md", 0)} AS j0, ${h4("md", 4)} AS j4,
        |  ${h4("md", 8)} AS j8, ${h4("md", 12)} AS j12,
        |  ${centroidCase(_._1)} AS clon, ${centroidCase(_._2)} AS clat
-       |  FROM geo0),
-       |geo AS (SELECT *,
+       |  FROM ${out}0),
+       |$out AS (SELECT * EXCLUDE (md, j0, j4, j8, j12, clon, clat),
        |  CASE WHEN clon IS NULL THEN j8/65535.0*360.0 - 180.0
        |       ELSE greatest(-179.999, least(179.999, clon + (j0/65535.0 - 0.5)*4.0)) END AS lon,
        |  CASE WHEN clat IS NULL THEN j12/65535.0*140.0 - 70.0
        |       ELSE greatest(-89.999, least(89.999, clat + (j4/65535.0 - 0.5)*4.0)) END AS lat
-       |  FROM geo1)""".stripMargin
+       |  FROM ${out}1)""".stripMargin
 
-  /** `enc` CTE: packed-long cell id at resolution r (CellIndex.encode). */
-  def encCte(r: Int): String = {
+  val geoCte: String = geoChain("pages", "geo")
+
+  /** Generic cell-encode chain: relation `src` (lon/lat) -> `out` with
+    * packed cell id at resolution r (CellIndex.encode parity). */
+  def encChain(src: String, r: Int, out: String): String = {
     val n = 1L << r
-    s"""cells AS (SELECT *,
+    s"""${out}_xy AS (SELECT *,
        |  greatest(0, least(${n - 1}, CAST(floor((lon + 180.0) / 360.0 * $n.0) AS BIGINT))) AS xi,
        |  greatest(0, least(${n - 1}, CAST(floor((lat + 90.0) / 180.0 * $n.0) AS BIGINT))) AS yi
-       |  FROM geo),
-       |enc AS (SELECT *, ($r * $Res58 + ${spread("xi")} * 2 + ${spread("yi")}) AS cell FROM cells)""".stripMargin
+       |  FROM $src),
+       |$out AS (SELECT * EXCLUDE (xi, yi), ($r * $Res58 + ${spread("xi")} * 2 + ${spread("yi")}) AS cell FROM ${out}_xy)""".stripMargin
   }
+
+  def encCte(r: Int): String = encChain("geo", r, "enc")
 
   /** Full WITH prefix ending in relation `enc` (pages+geo+cell). */
   def geoPrefix(res: Int): String =
     s"WITH $pagesCte,\n$geoCte,\n${encCte(res)}"
 
-  /** SQL for parent cell of a res-r cell, `steps` levels up. */
+  /** Same, continuing with more CTEs: geoPrefixAnd(res, "x AS (...)"). */
+  def geoPrefixAnd(res: Int, more: String): String =
+    s"${geoPrefix(res)},\n$more"
+
+  /** Point table derivation from a keyed table (Points.fromTable
+    * parity): key -> tld via ladder on (key*7)%100, host
+    * '<prefix><key>.geo.<tld>'. Emits `out` with lon/lat. */
+  def pointsChain(table: String, keyCol: String, extraCols: Seq[String],
+                  prefix: String, out: String): String = {
+    val extras = if (extraCols.isEmpty) "" else extraCols.mkString(", ", ", ", "")
+    s"""${out}_t AS (SELECT $keyCol AS pid$extras,
+       |  ${tldCaseOn(s"(($keyCol * 7) % 100)")} AS tld FROM $table),
+       |${out}_h AS (SELECT *, '$prefix' || CAST(pid AS VARCHAR) || '.geo.' || tld AS host FROM ${out}_t),
+       |${geoChain(s"${out}_h", out)}""".stripMargin
+  }
+
+  /** SQL for parent cell of a res-r cell, `steps` levels up
+    * (CellIndex.parent parity). */
   def parentSql(cellCol: String, r: Int, steps: Int): String =
     s"(${r - steps} * $Res58 + (($cellCol % $Res58) >> ${2 * steps}))"
+
+  /** Inverse Morton spread (CellIndex.compact) as nested SQL. */
+  private val compactSteps = Seq(
+    (0, 6148914691236517205L), // & 0x5555... first
+    (1, 3689348814741910323L),
+    (2, 1085102592571150095L),
+    (4, 71777214294589695L),
+    (8, 281470681808895L),
+    (16, 4294967295L))
+  def compactSql(e: String): String =
+    compactSteps.foldLeft(s"($e)") { case (acc, (sh, m)) =>
+      if (sh == 0) s"(($acc) & $m)"
+      else s"((($acc) | (($acc) >> $sh)) & $m)"
+    }
+
+  /** numpy-float32 normalized difference, scaled x1000 and truncated
+    * toward zero (NormDiff + Indexes.scaled parity). `a`/`b` must be
+    * REAL-typed SQL expressions. DuckDB's float 0/0 yields NULL (not
+    * NaN) — coalesce maps it to the kernel's NaN->0. */
+  def normDiffSql(a: String, b: String): String =
+    s"CAST(trunc(CAST(coalesce((($a) - ($b)) / (($a) + ($b)), 0.0::REAL) " +
+      "* 1000.0::REAL AS DOUBLE)) AS BIGINT)"
+
+  def real(c: String): String = s"CAST($c AS REAL)"
+
+  /** Even-odd ray-casting PIP as SQL over a FIXED polygon — the same
+    * crossing test and IEEE arithmetic order as Polygon.containsBrute,
+    * so booleans match bit-for-bit (works for concave rings too). */
+  def pipSql(lonCol: String, latCol: String, poly: graft.geo.Polygon): String = {
+    val terms = (0 until poly.n).map { i =>
+      val j = (i + 1) % poly.n
+      val (xi, yi) = (poly.xs(i), poly.ys(i))
+      val (xj, yj) = (poly.xs(j), poly.ys(j))
+      s"(CASE WHEN (($yi > $latCol) <> ($yj > $latCol)) AND " +
+        s"($lonCol < $xi + ($latCol - $yi) / ($yj - $yi) * ($xj - $xi)) " +
+        "THEN 1 ELSE 0 END)"
+    }
+    s"(((${terms.mkString(" + ")}) % 2) = 1)"
+  }
 }

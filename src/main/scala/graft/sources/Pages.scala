@@ -43,12 +43,13 @@ object Pages {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  private def tldCol(docId: Column): Column = {
-    val t = docId % 100
+  /** Weighted tld pick from a mod-100 column (mirror Oracle.tldCaseOn). */
+  def tldLadderCol(t: Column): Column =
     tldLadder.init.foldRight(lit(tldLadder.last._2)) {
       case ((bound, tld), elseCol) => when(t < bound, tld).otherwise(elseCol)
     }
-  }
+
+  private def tldCol(docId: Column): Column = tldLadderCol(docId % 100)
 
   /** The page table (keeps doc_id/source/n_chars as lineage columns). */
   def fromDocuments(spark: SparkSession, dir: String): DataFrame = {
