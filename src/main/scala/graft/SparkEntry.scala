@@ -286,6 +286,132 @@ object SparkEntry {
     Knn.knnJoin(points, pages, JoinRes, 5).orderBy("qid", "rank")
   }
 
+  // ---- text / dedup / training-data ops -----------------------------------
+
+  /** The input_hint invariant: text extracted from the html binary is
+    * byte-identical to the source text, per url. */
+  def qExtractText(spark: SparkSession, dir: String): DataFrame = {
+    val p = Pages.fromDocuments(spark, dir)
+      .withColumn("h", col("html").cast("string"))
+    val at = instr(col("h"), "<body><p>")
+    p.select(col("doc_id"),
+        col("h").substr(at + 9, length(col("h")) - at - 26).as("extracted"),
+        col("text"))
+      .withColumn("ok", col("extracted") === col("text"))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** Exact dedup: content-hash groupBy, keeper = min id. */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.exact(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text")
+      .orderBy("fp")
+
+  /** MinHash + LSH near-dup: shingle -> 8x32-bit minhash -> 4 bands ->
+    * bucket-join candidates -> exact-Jaccard verify. */
+  def qMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashLsh(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.4)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup: nibble band-join + exact Hamming <= 3. */
+  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.simhashPairs(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard via inverted shingle index (no LSH). */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.ngramJaccard(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** Language-ID by marker-token votes (n-gram heuristic family). */
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    val d = Pages.documents(spark, dir)
+    val scores = TextOps.langScores(col("text"))
+    d.select((col("doc_id") +: scores.map { case (l, c) => c.as(s"s_$l") } :+
+        TextOps.langId(col("text")).as("pred")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Quality features: exact integer counts + one closed-form ratio. */
+  def qQuality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    Pages.documents(spark, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_char"),
+        TextOps.nTokens(col("text")).as("n_tok"),
+        TextOps.nDigits(col("text")).as("n_dig"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace + BPE-ish regex runs. */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    Pages.documents(spark, dir).select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_ws"),
+        TextOps.nBpe(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Position-weighted rolling document fingerprint. */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextOps
+    Pages.documents(spark, dir).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- vectors (ANN) -------------------------------------------------------
+
+  private def quantizedVectors(spark: SparkSession, dir: String): DataFrame =
+    Pages.embeddings(spark, dir)
+      .select(col("vec_id").as("id"),
+        graft.vector.Ann.quantize(col("embedding")).as("v"))
+
+  /** Brute-force cosine top-k (exactness baseline). */
+  def qEmbedKnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantizedVectors(spark, dir)
+    val queries = corpus.filter(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    graft.vector.Ann.cosineTopK(queries, corpus, 5).orderBy("qid", "rank")
+  }
+
+  /** LSH-bucketed ANN (scale path): top-k within the signature bucket. */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantizedVectors(spark, dir)
+    val queries = corpus.filter(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    graft.vector.Ann.lshTopK(queries, corpus, 64, 3).orderBy("qid", "rank")
+  }
+
+  // ---- multimodal / lineage ------------------------------------------------
+
+  /** Multimodal binary-column plumbing: length/digest/magic + fake
+    * features (real decode stubbed — no codecs in this image). */
+  def qMultimodal(spark: SparkSession, dir: String): DataFrame =
+    graft.media.Multimodal.metadata(
+        Pages.fromDocuments(spark, dir), "doc_id", "html")
+      .orderBy("doc_id")
+
+  /** Lineage resume: planned res-6 tiles ANTI-JOIN completed manifest
+    * (completed simulated as even-x tiles of a prior run). */
+  def qLineageResume(spark: SparkSession, dir: String): DataFrame = {
+    val planned = Pages.geoPages(spark, dir, Res)
+      .select(cell_parent(col("cell"), Res - TileRes).as("cell")).distinct()
+    val manifest = planned.filter(cell_x(col("cell")) % 2 === 0)
+      .select(lit("job1").as("job_id"), lit("snap1").as("snapshot_id"),
+        col("cell"), lit(0L).as("rows_in"), lit(0L).as("rows_out"),
+        lit(0L).as("completed_at"))
+    graft.lineage.Lineage.pending(planned, manifest, "job1", "snap1")
+      .orderBy("cell")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,7 +436,20 @@ object SparkEntry {
     "q_calibrate" -> (qCalibrate _),
     "q_correction" -> (qCorrection _),
     "q_extract" -> (qExtract _),
-    "q_knn" -> (qKnn _)
+    "q_knn" -> (qKnn _),
+    "q_extract_text" -> (qExtractText _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash" -> (qSimhash _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_embed_knn" -> (qEmbedKnn _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_lineage_resume" -> (qLineageResume _)
   )
 
   def oracleSql: Map[String, String] = OracleQueries.all

@@ -1,0 +1,66 @@
+package graft.media
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing (builder mandate): image/audio/video
+ * payloads ride as opaque `binary` columns with typed metadata; the
+ * decode / feature-extract step is a per-partition batch function over
+ * a typed Dataset (the Scala analog of mapInPandas — one JVM call per
+ * batch of rows, model/codec handle reused across the partition).
+ *
+ * The actual codec decode is STUBBED (this container has no image/audio
+ * libs — see `decodeReal`); `fakeFeatures` is the deterministic stand-in
+ * that keeps the Spark-side plumbing (schema, batching, partitioning,
+ * column shapes) real and testable.
+ */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, byte_len: Int, digest: String,
+                           features: Array[Float])
+
+  /** Real decoder entry point — intentionally unimplemented here.
+    * Production wires a codec (JPEG/PNG/opus/...) behind this. */
+  def decodeReal(payload: Array[Byte]): Array[Float] = ???
+
+  /** Deterministic fake "decode": 4 features derived from the bytes
+    * (length, first/last byte, simple checksum) — stable across runs. */
+  def fakeFeatures(payload: Array[Byte]): Array[Float] = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+    Array(payload.length.toFloat,
+      if (payload.nonEmpty) (payload(0) & 0xff).toFloat else 0f,
+      if (payload.nonEmpty) (payload(payload.length - 1) & 0xff).toFloat else 0f,
+      (sum % 65536L).toFloat)
+  }
+
+  /** Per-partition batched feature extraction (mapInPandas analog):
+    * the decoder closure is constructed once per partition, rows stream
+    * through it. */
+  def extractFeatures(rows: Dataset[MediaRow],
+                      decode: Array[Byte] => Array[Float] = fakeFeatures)
+                     : Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.payload.length, digest, decode(r.payload))
+      }
+    }
+  }
+
+  /** Pure-Column variant of the metadata path (codegen'd; used by the
+    * oracle-gated query — no decode, only the plumbing-visible fields). */
+  def metadata(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(binCol)).cast("long").as("byte_len"),
+      md5(col(binCol)).as("digest"),
+      col(binCol).substr(1, 6).cast("string").startsWith("<html>").as("is_html"),
+      (octet_length(col(binCol)).cast("long") % 256).as("f1"),
+      ((octet_length(col(binCol)).cast("long") * 2654435761L) % 65536L).as("f2"))
+}

@@ -149,6 +149,40 @@ object Oracle {
 
   def real(c: String): String = s"CAST($c AS REAL)"
 
+  /** TextOps.h16 parity: 16-bit int from the first 4 hex chars of
+    * md5(expr). Recomputes md5 per char — correctness over speed. */
+  def h16Sql(expr: String): String = {
+    def hvE(i: Int) =
+      s"(CASE WHEN substr(md5($expr),$i,1) BETWEEN '0' AND '9' " +
+        s"THEN ascii(substr(md5($expr),$i,1))-48 ELSE ascii(substr(md5($expr),$i,1))-87 END)"
+    s"(${hvE(1)}*4096 + ${hvE(2)}*256 + ${hvE(3)}*16 + ${hvE(4)})"
+  }
+
+  /** TextOps.h32 parity over a column already holding the md5 hex. */
+  def h32FromMd(mdCol: String): String =
+    s"(CAST(${h4(mdCol, 0)} AS BIGINT) * 65536 + CAST(${h4(mdCol, 4)} AS BIGINT))"
+
+  /** Corpus.withDups parity — keep in sync. */
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000, text || ' graft dup tail' FROM documents WHERE doc_id % 10 = 1
+      |)""".stripMargin
+
+  /** Quantized-embedding list (Ann.quantize parity). */
+  def quantizeSql(vecCol: String): String =
+    s"list_transform($vecCol, x -> CAST(trunc(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized list columns. */
+  def dotQSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS BIGINT)"
+
+  /** Ann.cosineQ parity (NULL on zero norm, like try_divide). */
+  def cosineQSql(a: String, b: String): String =
+    s"CAST(${dotQSql(a, b)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${dotQSql(a, a)} AS DOUBLE)) * sqrt(CAST(${dotQSql(b, b)} AS DOUBLE)))"
+
   /** Even-odd ray-casting PIP as SQL over a FIXED polygon — the same
     * crossing test and IEEE arithmetic order as Polygon.containsBrute,
     * so booleans match bit-for-bit (works for concave rings too). */

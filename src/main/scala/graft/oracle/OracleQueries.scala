@@ -13,7 +13,7 @@ object OracleQueries {
   private val JoinRes = 8
   private val firstTen = (0 until 10).map(i => s"'src$i'").mkString(", ")
 
-  val all: Map[String, String] = Map(
+  private val core: Map[String, String] = Map(
     "q_tpch_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |count(*) AS n_rows FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -213,4 +213,167 @@ object OracleQueries {
          |SELECT qid, rank, id, dist2 FROM r WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
   )
+
+  // ---- text / dedup / vector / lineage oracles ----------------------------
+
+  /** corpus -> distinct (id, shingle) CTE chain (Dedup.docShingles). */
+  private val shChain: String =
+    """tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM corpus),
+      |sh0 AS (SELECT id, unnest(list_transform(range(0, len(t)-2),
+      |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle FROM tok),
+      |sh AS (SELECT DISTINCT id, shingle FROM sh0)""".stripMargin
+
+  /** pairs (cand with id_a/id_b) -> exact jaccard (Dedup.jaccard). */
+  private def jaccardTail(threshold: Double): String =
+    s"""sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY 1),
+       |com AS (SELECT c.id_a, c.id_b, count(*) AS common FROM cand c
+       |  JOIN sh sa ON sa.id = c.id_a
+       |  JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT com.id_a, com.id_b, common, na.n AS n_a, nb.n AS n_b,
+       |  CAST(common AS DOUBLE) / CAST(na.n + nb.n - common AS DOUBLE) AS jaccard
+       |  FROM com JOIN sizes na ON na.id = com.id_a
+       |  JOIN sizes nb ON nb.id = com.id_b)
+       |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM jac
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  private def simhashBitSum: String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def lshSigSql(vcol: String): String =
+    (0 until graft.vector.Ann.NumPlanes).map { p =>
+      val w = graft.vector.Ann.planeArray(p, 64).mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotQSql(w, vcol)} > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val textVec: Map[String, String] = Map(
+    "q_extract_text" ->
+      s"""WITH $pagesCte
+         |SELECT doc_id,
+         |  substring(html_str, strpos(html_str, '<body><p>') + 9,
+         |    length(html_str) - strpos(html_str, '<body><p>') - 26) AS extracted,
+         |  (substring(html_str, strpos(html_str, '<body><p>') + 9,
+         |    length(html_str) - strpos(html_str, '<body><p>') - 26) = text) AS ok
+         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH $corpusCte
+         |SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
+         |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_minhash_lsh" -> {
+      val mds = (0 until 8).map(i => s"md5(shingle || '#$i') AS md$i").mkString(", ")
+      val mins = (0 until 8).map(i => s"min(${h32FromMd(s"md$i")}) AS m$i").mkString(", ")
+      val bandRows = (0 until 4).map { b =>
+        s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS key FROM minh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $corpusCte,
+         |$shChain,
+         |mh AS (SELECT id, shingle, $mds FROM sh),
+         |minh AS (SELECT id, $mins FROM mh GROUP BY id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |${jaccardTail(0.4)}""".stripMargin
+    },
+
+    "q_simhash" ->
+      s"""WITH $corpusCte,
+         |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
+         |th AS (SELECT id, ${h16Sql("tk")} AS h FROM tok0),
+         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id)
+         |SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $corpusCte,
+         |$shChain,
+         |cand AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b FROM sh sa
+         |  JOIN sh sb ON sa.shingle = sb.shingle AND sa.id < sb.id),
+         |${jaccardTail(0.3)}""".stripMargin,
+
+    "q_lang_id" -> {
+      def score(markers: Seq[String]) = markers
+        .map(m => s"len(list_filter(t, x -> x = '$m'))").mkString(" + ")
+      val cols = graft.text.TextOps.langMarkers
+        .map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }
+        .mkString(",\n  ")
+      val names = graft.text.TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+      val pred = names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'unknown' END")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $cols
+         |  FROM tok)
+         |SELECT doc_id, ${names.map("s_" + _).mkString(", ")}, $pred AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" ->
+      """WITH q AS (SELECT doc_id, length(text) AS n_char,
+        |  (length(text) - length(replace(text, ' ', '')) + 1) AS n_tok,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_char AS BIGINT) AS n_char,
+        |  CAST(n_tok AS BIGINT) AS n_tok, CAST(n_dig AS BIGINT) AS n_dig,
+        |  (CAST(n_char AS DOUBLE) - CAST(n_tok - 1 AS DOUBLE)) / CAST(n_tok AS DOUBLE) AS mean_tok_len
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, len(t)+1),
+         |    i -> CAST(${h16Sql("t[i]")} AS BIGINT) * i)) % 2147483647 AS BIGINT) AS fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_embed_knn" ->
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |qv AS (SELECT id AS qid, v AS qv FROM cv WHERE id % 50 = 0),
+         |d AS (SELECT qid, id, ${cosineQSql("qv", "v")} AS cos FROM qv CROSS JOIN cv),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+         |SELECT qid, rank, id, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |qv0 AS (SELECT id AS qid, v AS qv FROM cv WHERE id % 50 = 0),
+         |cs AS (SELECT id, v, CAST(${lshSigSql("v")} AS BIGINT) AS sig FROM cv),
+         |qs AS (SELECT qid, qv, CAST(${lshSigSql("qv")} AS BIGINT) AS sig FROM qv0),
+         |d AS (SELECT qid, id, ${cosineQSql("qv", "v")} AS cos
+         |  FROM qs JOIN cs ON qs.sig = cs.sig),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+         |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_multimodal" ->
+      s"""WITH $pagesCte
+         |SELECT doc_id,
+         |  CAST(octet_length(CAST(html_str AS BLOB)) AS BIGINT) AS byte_len,
+         |  md5(html_str) AS digest,
+         |  (substring(html_str, 1, 6) = '<html>') AS is_html,
+         |  CAST(octet_length(CAST(html_str AS BLOB)) % 256 AS BIGINT) AS f1,
+         |  CAST((octet_length(CAST(html_str AS BLOB)) * 2654435761) % 65536 AS BIGINT) AS f2
+         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "q_lineage_resume" ->
+      s"""${geoPrefixAnd(Res,
+        s"tiles AS (SELECT DISTINCT ${parentSql("cell", Res, Res - TileRes)} AS cell FROM enc)")}
+         |SELECT cell FROM tiles
+         |WHERE (${compactSql(s"((cell % $Res58) >> 1)")}) % 2 = 1
+         |ORDER BY cell""".stripMargin
+  )
+
+  val all: Map[String, String] = core ++ textVec
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextOps}
+import graft.vector.Ann
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near dup of 1
+    (4L, "one two three four five six seven eight nine"),
+    (5L, "ab cd") // too short for 3-shingles
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val g = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(g.length == 4)
+    assert(g.head == (2L, 1L)) // the dup group keeps id 1
+  }
+
+  test("shingles guard: < k tokens gives empty array") {
+    val sh = docs.select($"doc_id", size(TextOps.shingles($"text", 3)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sh(5L) == 0 && sh(1L) == 6) // 8 tokens -> 6 shingles
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 0.4)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // identical -> jaccard 1.0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0; band join == brute force") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    // brute force over all signatures must give the same <=3 pairs
+    val sigs = docs.select($"doc_id", Dedup.simhash16($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if h <= 3
+    } yield ((a, b), h.toLong)).toMap
+    assert(pairs == brute)
+  }
+
+  test("ngram jaccard scores the planted near-dup correctly") {
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", 0.1)
+      .filter($"id_a" === 1L && $"id_b" === 3L).collect()(0)
+    // 1 and 3 share 5 of their 6 shingles -> 5/(6+6-5)
+    assert(j.getAs[Long]("common") == 5L)
+    assert(j.getAs[Double]("jaccard") == 5.0 / 7.0)
+  }
+
+  val vecs = (0L until 20L).map { i =>
+    val rnd = new scala.util.Random(i)
+    (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+  }.toDF("id", "emb")
+
+  test("cosineTopK matches a driver-side brute force") {
+    val q = vecs.filter($"id" < 3)
+      .select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val got = Ann.cosineTopK(q, c, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // reference: same quantization in plain Scala
+    val qv = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(f => (f.toDouble * 10000.0).toLong).toArray).toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    for (qid <- 0L until 3L) {
+      val expect = qv.keys.toSeq
+        .map(id => (id, cos(qv(qid), qv(id))))
+        .sortBy { case (id, c) => (-c, id) }.take(3)
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4))
+      assert(mine.toSeq == expect, s"qid=$qid")
+    }
+  }
+
+  test("lsh top-k returns each query itself at rank 1 (same bucket)") {
+    val q = vecs.select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val rank1 = Ann.lshTopK(q, c, 64, 1).collect()
+    assert(rank1.length == 20)
+    rank1.foreach(r => assert(r.getLong(0) == r.getLong(2))) // self is top
+  }
+}
