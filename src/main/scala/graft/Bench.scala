@@ -1,24 +1,77 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-run benchmark: one JSON line on stdout.
+  *
+  * - `queries`: per-query wall seconds at local[SPARK_GRAFT_CPUS], each
+  *   fully evaluated via a `noop` write (a bare .count() would let
+  *   Catalyst prune every projected column and skip the very
+  *   expressions under test).
+  * - Headline (BASELINE.json `metric`): the flagship spatial-join +
+  *   tiling pipeline (scan -> geotag -> cell encode -> tile rollup),
+  *   reported as pages/sec and tiles/sec.
+  * - Scaling evidence (north_rule, sandbox proxy per BASELINE.md): the
+  *   same headline job at local[8] and local[32] on the same input;
+  *   efficiency = (throughput@32 / throughput@8) / 4.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+  }
+
+  /** Execute the full plan (all columns) and return wall seconds. */
+  private def time(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---- per-query sweep at local[cpus] ------------------------------
+    var spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.read.parquet(s"$sfDir/documents.parquet").count() // JIT/IO warmup
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val dt = try time(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---- headline: spatial-join + tiling throughput + scaling -------
+    val nPages = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val nTiles = SparkEntry.qTileDensity(spark, sfDir).count()
+    def headline(p: Int): Double = {
+      spark.stop()
+      spark = session(p)
+      spark.sparkContext.setLogLevel("WARN")
+      spark.read.parquet(s"$sfDir/documents.parquet").count() // warm FS cache
+      time(SparkEntry.qTileDensity(spark, sfDir)) // JIT warm
+      val runs = Seq.fill(3)(time(SparkEntry.qTileDensity(spark, sfDir)))
+      runs.min
+    }
+    val t8 = headline(8)
+    val t32 = headline(32)
+    val eff = (t8 / t32) / 4.0
     spark.stop()
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"spatial-join + tiling throughput","value":${(nPages / t32).round},"unit":"pages/sec",""" +
+      s""""tiles_per_sec":${(nTiles / t32).round},"pages":$nPages,"tiles":$nTiles,""" +
+      f""""tile_job_sec_local8":$t8%.3f,"tile_job_sec_local32":$t32%.3f,"scaling_efficiency_8_to_32":$eff%.3f,""" +
+      f""""queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

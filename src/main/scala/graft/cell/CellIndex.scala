@@ -190,4 +190,38 @@ object CellIndex {
     val lo = (r.toLong << 58) | (morton(cell) << shift)
     (lo, lo | ((1L << shift) - 1L))
   }
+
+  /** Merge sorted inclusive ranges (adjacent/overlapping coalesce) into a
+    * flattened [lo0,hi0, lo1,hi1, ...] array for binary-search probing. */
+  def mergeRanges(ranges: Array[(Long, Long)]): Array[Long] = {
+    val sorted = ranges.sortBy(_._1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for ((l, h) <- sorted) {
+      if (out.nonEmpty && l <= out(out.length - 1) + 1)
+        out(out.length - 1) = math.max(out(out.length - 1), h)
+      else { out += l; out += h }
+    }
+    out.toArray
+  }
+
+  /** Descendant ranges of a coarse cover at res r, merged and flattened. */
+  def coverRanges(cover: Array[Long], r: Int): Array[Long] =
+    mergeRanges(cover.map(descendantRange(_, r)))
+
+  /** True iff cell lies in one of the flattened merged ranges — ONE
+    * binary search per probe, so the cover prefilter stays a single
+    * static call inside whole-stage codegen no matter how many ranges
+    * the cover produced (a naive OR-of-BETWEEN disjunction re-inlines
+    * the full derived-cell expression per disjunct and blows the JVM's
+    * 64KB method limit). */
+  def inRanges(cell: Long, flat: Array[Long]): Boolean = {
+    var lo = 0
+    var hi = (flat.length >>> 1) - 1
+    var ans = -1
+    while (lo <= hi) {
+      val m = (lo + hi) >>> 1
+      if (flat(m << 1) <= cell) { ans = m; lo = m + 1 } else hi = m - 1
+    }
+    ans >= 0 && cell <= flat((ans << 1) + 1)
+  }
 }

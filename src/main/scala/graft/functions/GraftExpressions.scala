@@ -206,6 +206,30 @@ case class PointInPoly(left: Expression, right: Expression, poly: Polygon)
 }
 
 /**
+ * cell_in_ranges(cell): membership of a cell id in a plan-time set of
+ * merged inclusive morton ranges (flattened [lo,hi,...], sorted). The
+ * range table rides along as a reference object and each probe is one
+ * binary search — keeping the cover prefilter a single compact call in
+ * generated code (vs an OR-of-BETWEEN disjunction that re-inlines the
+ * derived cell expression per disjunct and trips janino's 64KB limit).
+ */
+case class CellInRanges(child: Expression, flat: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def inputTypes = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_in_ranges"
+  protected override def nullSafeEval(cell: Any): Any =
+    CellIndex.inRanges(cell.asInstanceOf[Long], flat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellRanges", flat, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.inRanges($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): CellInRanges =
+    copy(child = c)
+}
+
+/**
  * norm_diff(a, b): float32 (a-b)/(a+b) with numpy parity — computed in
  * single precision, divide-by-zero/invalid produce NaN/Inf which are
  * mapped to 0.0f (np.nan_to_num-free variant of raster.py:552-553:

@@ -38,6 +38,11 @@ package object functions {
   def cell_x(cell: Column): Column = toCol(CellX(toExpr(cell)))
   def cell_y(cell: Column): Column = toCol(CellY(toExpr(cell)))
 
+  /** Cell-id membership in flattened merged morton ranges (one binary
+    * search per row; the compact cover prefilter). */
+  def cell_in_ranges(cell: Column, flat: Array[Long]): Column =
+    toCol(CellInRanges(toExpr(cell), flat))
+
   /** Exact point-in-polygon (ray casting, strip-indexed). */
   def point_in_poly(lon: Column, lat: Column, poly: Polygon): Column =
     toCol(PointInPoly(toExpr(lon), toExpr(lat), poly))

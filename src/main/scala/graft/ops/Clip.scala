@@ -21,17 +21,21 @@ import graft.geo.Polygon
  */
 object Clip {
 
-  /** Disjunction of descendant-range predicates for a set of coarse
-    * cover cells (merged where adjacent to keep the predicate small). */
+  /** Above this many merged ranges the prefilter switches from an
+    * OR-of-BETWEEN disjunction (parquet min/max pushdown-friendly on a
+    * STORED cell column) to one binary-search probe (`cell_in_ranges`).
+    * The disjunction re-inlines the cell expression per disjunct when
+    * `cell` is derived, so large covers would blow janino's 64KB
+    * method limit and silently fall back to interpreted eval. */
+  val MaxDisjuncts = 12
+
+  /** Cover prefilter predicate for a set of coarse cover cells. */
   def coverRangePredicate(cellCol: Column, cover: Array[Long], res: Int): Column = {
-    val ranges = cover.sorted.map(CellIndex.descendantRange(_, res))
-    // merge adjacent/overlapping morton ranges
-    val merged = ranges.foldLeft(List.empty[(Long, Long)]) {
-      case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 =>
-        (lo, math.max(hi, h)) :: tail
-      case (acc, r) => r :: acc
-    }.reverse
-    merged.map { case (lo, hi) => cellCol.between(lo, hi) }.reduce(_ || _)
+    val flat = CellIndex.coverRanges(cover, res)
+    if (flat.length / 2 <= MaxDisjuncts)
+      flat.grouped(2).map { case Array(lo, hi) => cellCol.between(lo, hi) }
+        .reduce(_ || _)
+    else cell_in_ranges(cellCol, flat)
   }
 
   /** S3 `load_window`: rectangular clip. `res` = resolution of the

@@ -111,6 +111,30 @@ class CellIndexSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("inRanges(coverRanges) == membership in some descendant range") {
+    forAllP(lonGen, latGen) { (lon, lat) =>
+      val cover = CellIndex.coverRect(40.0, -20.0, 150.0, 60.0, 6)
+      val flat = CellIndex.coverRanges(cover, 12)
+      // flat is sorted, disjoint, even length
+      assert(flat.length % 2 == 0)
+      assert(flat.sliding(2).forall(p => p(0) <= p(1)))
+      val cell = CellIndex.encode(lon, lat, 12)
+      val brute = cover.exists { c =>
+        val (lo, hi) = CellIndex.descendantRange(c, 12)
+        cell >= lo && cell <= hi
+      }
+      CellIndex.inRanges(cell, flat) == brute
+    }
+  }
+
+  test("mergeRanges coalesces adjacent and overlapping ranges") {
+    val flat = CellIndex.mergeRanges(Array((5L, 9L), (0L, 4L), (12L, 20L), (15L, 18L)))
+    assert(flat.toSeq == Seq(0L, 9L, 12L, 20L))
+    assert(CellIndex.inRanges(9L, flat) && !CellIndex.inRanges(10L, flat))
+    assert(CellIndex.inRanges(12L, flat) && CellIndex.inRanges(20L, flat))
+    assert(!CellIndex.inRanges(21L, flat) && !CellIndex.inRanges(-1L, flat))
+  }
+
   test("tileXY matches parent cell coords") {
     forAllP(lonGen, latGen) { (lon, lat) =>
       val c = CellIndex.encode(lon, lat, 12)
