@@ -32,7 +32,7 @@ object Profile {
     t("candidates")(candidates(bands(minhash(sh))))
     t("jaccard-full")(minhashLsh(corpus, "doc_id", "text", 0.4))
     val sig = corpus.select(col("doc_id").as("id"),
-      simhash16(col("text")).as("sig"))
+      graft.functions.simhash60(col("text")).as("sig"))
     t("simhash-sig")(sig)
     t("simhash-pairs")(simhashPairs(corpus, "doc_id", "text"))
     t("ngram-pairs-only") {

@@ -84,7 +84,7 @@ object SparkEntry {
   /** A12/R3 flagship: per-tile page density (parent rollup of res-12
     * cells to res-6 tiles) — scan -> geotag -> cell -> hash agg. */
   def qTileDensity(spark: SparkSession, dir: String): DataFrame =
-    Pages.geoPages(spark, dir, Res)
+    Pages.geoCells(spark, dir, Res)
       .groupBy(cell_parent(col("cell"), Res - TileRes).as("tile"))
       .agg(
         count(lit(1)).as("n_pages"),
@@ -166,7 +166,7 @@ object SparkEntry {
   // ---- resample / pyramid / vectorize (R1, R3, A12) -----------------------
 
   private def cellCounts(spark: SparkSession, dir: String, res: Int): DataFrame =
-    Pages.geoPages(spark, dir, res).groupBy("cell").agg(count(lit(1)).as("v"))
+    Pages.geoCells(spark, dir, res).groupBy("cell").agg(count(lit(1)).as("v"))
 
   /** R1 downsample, both "sum" and GDAL-nearest-parity selectors. */
   def qResample(spark: SparkSession, dir: String): DataFrame = {
@@ -178,7 +178,7 @@ object SparkEntry {
 
   /** R1 upsample: res-6 tiles explode to res-7 children (no shuffle). */
   def qUpsample(spark: SparkSession, dir: String): DataFrame = {
-    val tiles = Tiles.rasterize(Pages.geoPages(spark, dir, Res), Res, TileRes)
+    val tiles = Tiles.rasterize(Pages.geoCells(spark, dir, Res), Res, TileRes)
       .select(col("tile").as("cell"), col("n_pages"))
     Resample.upsample(tiles, Seq("n_pages")).orderBy("cell")
   }
@@ -192,7 +192,7 @@ object SparkEntry {
   /** Vectorize: dense tiles back to geometry rows (bbox + center). */
   def qVectorize(spark: SparkSession, dir: String): DataFrame =
     Tiles.vectorize(
-      Tiles.rasterize(Pages.geoPages(spark, dir, Res), Res, TileRes)
+      Tiles.rasterize(Pages.geoCells(spark, dir, Res), Res, TileRes)
         .filter(col("n_pages") >= 5)
         .select("tile", "n_pages"))
       .orderBy("tile")
@@ -203,7 +203,7 @@ object SparkEntry {
     * the four normalized-difference indexes with exact numpy float32 +
     * truncation semantics. */
   def qStackIndexes(spark: SparkSession, dir: String): DataFrame = {
-    val geo = Pages.geoPages(spark, dir, 10)
+    val geo = Pages.geoCells(spark, dir, 10)
     def band(name: String, agg: org.apache.spark.sql.Column): DataFrame =
       geo.groupBy("cell").agg(agg.as(name))
     val stacked = Stack.stack(Seq(
@@ -225,7 +225,7 @@ object SparkEntry {
   /** S8/A11: nodata-aware first-non-null mosaic in source order
     * (min_by explicit total order — deterministic at any parallelism). */
   def qMosaic(spark: SparkSession, dir: String): DataFrame = {
-    val geo = Pages.geoPages(spark, dir, Res)
+    val geo = Pages.geoCells(spark, dir, Res)
     val firstTen = (0 until 10).map(i => s"src$i")
     def side(p: DataFrame => DataFrame): DataFrame =
       p(geo).groupBy("cell").agg(sum("n_chars").as("v"))
@@ -240,7 +240,7 @@ object SparkEntry {
   /** A5/A6: per-lang linear fit y~x between two source groups' per-cell
     * counts over their overlap (exact integer-sum closed forms). */
   def qCalibrate(spark: SparkSession, dir: String): DataFrame = {
-    val geo = Pages.geoPages(spark, dir, JoinRes)
+    val geo = Pages.geoCells(spark, dir, JoinRes)
     val firstTen = (0 until 10).map(i => s"src$i")
     val x = geo.filter(col("source").isin(firstTen: _*))
       .groupBy("cell", "lang").agg(count(lit(1)).as("x"))
@@ -257,6 +257,20 @@ object SparkEntry {
       .select(col("cell"),
         Calibrate.arrayCorrection(col("v") * 7, lit(10)).as("corrected"))
       .orderBy("cell")
+
+  // ---- classification metrics (A7/A8/M4) ----------------------------------
+
+  /** A7 confusion matrix: actual lang vs ccTLD-predicted lang. */
+  def qConfusion(spark: SparkSession, dir: String): DataFrame =
+    Model.confusion(Pages.fromDocuments(spark, dir), "lang", "tld")
+      .orderBy("y", "yhat")
+
+  /** A8/M4: per-class user/producer accuracy + overall accuracy +
+    * cohen's kappa, all closed forms over exact counts. */
+  def qClassMetrics(spark: SparkSession, dir: String): DataFrame =
+    Model.classMetrics(
+        Model.confusion(Pages.fromDocuments(spark, dir), "lang", "tld"))
+      .orderBy("cls")
 
   // ---- zonal extraction (J1) ----------------------------------------------
 
@@ -382,6 +396,12 @@ object SparkEntry {
     graft.vector.Ann.cosineTopK(queries, corpus, 5).orderBy("qid", "rank")
   }
 
+  /** Embedding-cosine near-dup: LSH-signature blocking self-join +
+    * exact cosine verify (dedup family over vectors). */
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.Ann.cosineNearDup(quantizedVectors(spark, dir), 64, 0.2)
+      .orderBy("id_a", "id_b")
+
   /** LSH-bucketed ANN (scale path): top-k within the signature bucket. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = quantizedVectors(spark, dir)
@@ -402,7 +422,7 @@ object SparkEntry {
   /** Lineage resume: planned res-6 tiles ANTI-JOIN completed manifest
     * (completed simulated as even-x tiles of a prior run). */
   def qLineageResume(spark: SparkSession, dir: String): DataFrame = {
-    val planned = Pages.geoPages(spark, dir, Res)
+    val planned = Pages.geoCells(spark, dir, Res)
       .select(cell_parent(col("cell"), Res - TileRes).as("cell")).distinct()
     val manifest = planned.filter(cell_x(col("cell")) % 2 === 0)
       .select(lit("job1").as("job_id"), lit("snap1").as("snapshot_id"),
@@ -436,6 +456,8 @@ object SparkEntry {
     "q_calibrate" -> (qCalibrate _),
     "q_correction" -> (qCorrection _),
     "q_extract" -> (qExtract _),
+    "q_confusion" -> (qConfusion _),
+    "q_class_metrics" -> (qClassMetrics _),
     "q_knn" -> (qKnn _),
     "q_extract_text" -> (qExtractText _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -447,6 +469,7 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_knn" -> (qEmbedKnn _),
+    "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_multimodal" -> (qMultimodal _),
     "q_lineage_resume" -> (qLineageResume _)

@@ -28,8 +28,18 @@ import graft.geo.{GeoTag, Polygon}
  *    exact numpy float32 + NaN->0 semantics (raster.py:544-555)
  */
 object kernels { // static-call targets for generated code
-  def geotagLon(url: UTF8String): Double = GeoTag.lon(url.toString)
-  def geotagLat(url: UTF8String): Double = GeoTag.lat(url.toString)
+  def geotagLon(url: UTF8String): Double = {
+    val b = url.getBytes
+    GeoTag.lonLatBytes(b, 0, b.length)._1
+  }
+  def geotagLat(url: UTF8String): Double = {
+    val b = url.getBytes
+    GeoTag.lonLatBytes(b, 0, b.length)._2
+  }
+  def geotagCell(url: UTF8String, res: Int): Long = {
+    val b = url.getBytes
+    GeoTag.cellOfBytes(b, 0, b.length, res)
+  }
 }
 
 case class GeotagLon(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -54,6 +64,23 @@ case class GeotagLat(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.kernels.geotagLat($c)")
   override protected def withNewChildInternal(c: Expression): GeotagLat = copy(c)
+}
+
+/** geotag_cell(url, res) -> packed long: fused geotag + encode, one
+  * md5 per row (the hot path of the tiling pipeline). */
+case class GeotagCell(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geotag_cell"
+  protected override def nullSafeEval(url: Any, res: Any): Any =
+    kernels.geotagCell(url.asInstanceOf[UTF8String], res.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (u, r) =>
+      s"graft.functions.kernels.geotagCell($u, $r)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GeotagCell = copy(l, r)
 }
 
 /** cell_of(lon, lat, res) -> packed long (CellIndex.encode). */
@@ -227,6 +254,65 @@ case class CellInRanges(child: Expression, flat: Array[Long])
   }
   override protected def withNewChildInternal(c: Expression): CellInRanges =
     copy(child = c)
+}
+
+/**
+ * simhash60(text): 60-bit SimHash signature (graft.text.SimHash) — one
+ * codegen'd kernel call per row (tokenize + md5-per-token + bit votes)
+ * instead of 60 interpreted higher-order-function passes.
+ */
+case class SimHash60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash60"
+  protected override def nullSafeEval(text: Any): Any =
+    graft.text.SimHash.sig60(text.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.SimHash.sig60($c.toString())")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
+}
+
+/** shingles_k(text, k): word-k-gram shingles (TextKernels.shingles). */
+case class ShinglesK(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingles_k"
+  protected override def nullSafeEval(text: Any, k: Any): Any =
+    graft.text.TextKernels.shingles(text.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.text.TextKernels.shingles($t, $k)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ShinglesK = copy(l, r)
+}
+
+/** md5_words(s): the 4 unsigned 32-bit words of md5(s) — one digest,
+  * four independent hashes (the minhash family). */
+case class Md5Words(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_words"
+  protected override def nullSafeEval(s: Any): Any =
+    graft.text.TextKernels.md5Words(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.text.TextKernels.md5Words($s)")
+  override protected def withNewChildInternal(c: Expression): Md5Words = copy(c)
+}
+
+/** doc_fingerprint(text): position-weighted rolling h16 sum mod 2^31-1. */
+case class DocFingerprint(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "doc_fingerprint"
+  protected override def nullSafeEval(text: Any): Any =
+    graft.text.TextKernels.fingerprint(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.TextKernels.fingerprint($t)")
+  override protected def withNewChildInternal(c: Expression): DocFingerprint = copy(c)
 }
 
 /**

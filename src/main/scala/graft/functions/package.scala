@@ -18,6 +18,10 @@ package object functions {
   /** Deterministic URL -> latitude. */
   def geotag_lat(url: Column): Column = toCol(GeotagLat(toExpr(url)))
 
+  /** Fused url -> cell (one md5/row; the hot tiling path). */
+  def geotag_cell(url: Column, res: Int): Column =
+    toCol(GeotagCell(toExpr(url), toExpr(lit(res))))
+
   /** Packed-long cell of (lon, lat) at resolution res (SURVEY.md F15). */
   def cell_of(lon: Column, lat: Column, res: Int): Column =
     toCol(CellOf(toExpr(lon), toExpr(lat), toExpr(lit(res))))
@@ -47,6 +51,19 @@ package object functions {
   def point_in_poly(lon: Column, lat: Column, poly: Polygon): Column =
     toCol(PointInPoly(toExpr(lon), toExpr(lat), poly))
 
+  /** 60-bit SimHash signature of a text column (one kernel call/row). */
+  def simhash60(text: Column): Column = toCol(SimHash60(toExpr(text)))
+
+  /** Word-k-gram shingles (one kernel call/row). */
+  def shingles_k(text: Column, k: Int): Column =
+    toCol(ShinglesK(toExpr(text), toExpr(lit(k))))
+
+  /** The 4 unsigned 32-bit md5 words (one digest, 4 hashes). */
+  def md5_words(s: Column): Column = toCol(Md5Words(toExpr(s)))
+
+  /** Position-weighted rolling document fingerprint. */
+  def doc_fingerprint(text: Column): Column = toCol(DocFingerprint(toExpr(text)))
+
   /** Fused float32 normalized difference (numpy parity, raster.py:544+). */
   def norm_diff(a: Column, b: Column): Column =
     toCol(NormDiff(toExpr(a.cast("float")), toExpr(b.cast("float"))))
@@ -66,5 +83,10 @@ package object functions {
     register(spark, "cell_x", e => CellX(e.head))
     register(spark, "cell_y", e => CellY(e.head))
     register(spark, "norm_diff", e => NormDiff(e(0), e(1)))
+    register(spark, "simhash60", e => SimHash60(e.head))
+    register(spark, "geotag_cell", e => GeotagCell(e(0), e(1)))
+    register(spark, "shingles_k", e => ShinglesK(e(0), e(1)))
+    register(spark, "md5_words", e => Md5Words(e.head))
+    register(spark, "doc_fingerprint", e => DocFingerprint(e.head))
   }
 }

@@ -31,8 +31,7 @@ object Knn {
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
     * Returns (qid, rank, id, dist2) with rank 1..k. */
   def knnJoin(points: DataFrame, pages: DataFrame, res: Int, k: Int,
-              initRadius: Int = 2, maxRadius: Int = 64): DataFrame = {
-    val spark = points.sparkSession
+              initRadius: Int = 4, maxRadius: Int = 16): DataFrame = {
     val cellH = 180.0 / (1L << res).toDouble
     val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
       (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
@@ -44,26 +43,38 @@ object Knn {
         .filter(col("rank") <= k)
         .select("qid", "rank", "id", "dist2")
 
-    var pending = points.withColumn("qcell", cell_of(col("qlon"), col("qlat"), res))
+    // The query side is SMALL by contract (it is broadcast into the
+    // cell probe), so loop bookkeeping — which queries are done — is
+    // collected to the driver instead of spending an anti-join +
+    // isEmpty job per round: each round costs exactly one Spark job
+    // (the done-set collect over the cached round top-k).
+    var pending = points
+      .withColumn("qcell", cell_of(col("qlon"), col("qlat"), res))
+      .cache()
+    var nPending = pending.count()
     var results: DataFrame = null
     var r = initRadius
-    while (r <= maxRadius && !pending.isEmpty) {
+    while (r <= maxRadius && nPending > 0) {
       val probe = pending
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
       val cands = pages.join(broadcast(probe), Seq("cell"))
-      val topk = topkOf(cands).cache()
+      val topk = topkOf(cands).cache() // <= |pending| * k rows
       // exact iff k found AND kth distance within the disk guarantee
-      val done = topk.groupBy("qid")
+      val doneIds = topk.groupBy("qid")
         .agg(count(lit(1)).as("cnt"), max("dist2").as("kth"))
         .filter(col("cnt") === k && col("kth") <= lit((r * cellH) * (r * cellH)))
-        .select("qid")
-      val finished = topk.join(done, Seq("qid"), "left_semi")
-      results = if (results == null) finished else results.unionByName(finished)
-      pending = pending.join(done, Seq("qid"), "left_anti").cache()
+        .select("qid").collect().map(_.get(0)).toSeq // keep qid's own type
+      if (doneIds.nonEmpty) {
+        val finished = topk.filter(col("qid").isInCollection(doneIds))
+        results = if (results == null) finished else results.unionByName(finished)
+        pending = pending.filter(!col("qid").isInCollection(doneIds))
+        nPending -= doneIds.length
+      }
       r *= 2
     }
-    if (!pending.isEmpty) {
-      // residual brute force: tiny query set x full pages
+    if (nPending > 0) {
+      // residual brute force: tiny query set x full pages (queries in
+      // regions emptier than disk(maxRadius) — still exact)
       val cands = pages.crossJoin(broadcast(pending.drop("qcell")))
       results = if (results == null) topkOf(cands)
         else results.unionByName(topkOf(cands))

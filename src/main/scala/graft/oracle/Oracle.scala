@@ -33,7 +33,7 @@ object Oracle {
   val Res58: Long = 288230376151711744L // 1 << 58
 
   /** hex char at 1-based position i of column `c` -> 0..15. */
-  private def hv(c: String, i: Int): String =
+  def hv(c: String, i: Int): String =
     s"(CASE WHEN substr($c,$i,1) BETWEEN '0' AND '9' " +
       s"THEN ascii(substr($c,$i,1))-48 ELSE ascii(substr($c,$i,1))-87 END)"
 
@@ -158,9 +158,18 @@ object Oracle {
     s"(${hvE(1)}*4096 + ${hvE(2)}*256 + ${hvE(3)}*16 + ${hvE(4)})"
   }
 
-  /** TextOps.h32 parity over a column already holding the md5 hex. */
-  def h32FromMd(mdCol: String): String =
-    s"(CAST(${h4(mdCol, 0)} AS BIGINT) * 65536 + CAST(${h4(mdCol, 4)} AS BIGINT))"
+  /** 32-bit md5 word: 8 hex chars at 0-based offset o0 of an md5-hex
+    * column (TextKernels.md5Words word o0/8 parity). */
+  def h32FromMd(mdCol: String, o0: Int = 0): String =
+    s"(CAST(${h4(mdCol, o0)} AS BIGINT) * 65536 + CAST(${h4(mdCol, o0 + 4)} AS BIGINT))"
+
+  /** SimHash.h60 parity: 60-bit int from the first 15 hex chars of an
+    * md5-hex column (big-endian nibbles, positive in signed BIGINT). */
+  def h60FromMd(mdCol: String): String =
+    s"(CAST(${h4(mdCol, 0)} AS BIGINT) * ${1L << 44} + " +
+      s"CAST(${h4(mdCol, 4)} AS BIGINT) * ${1L << 28} + " +
+      s"CAST(${h4(mdCol, 8)} AS BIGINT) * ${1L << 12} + " +
+      s"CAST(${hv(mdCol, 13)} * 256 + ${hv(mdCol, 14)} * 16 + ${hv(mdCol, 15)} AS BIGINT))"
 
   /** Corpus.withDups parity — keep in sync. */
   val corpusCte: String =

@@ -214,6 +214,41 @@ object OracleQueries {
          |ORDER BY qid, rank""".stripMargin
   )
 
+  private val classification: Map[String, String] = Map(
+    "q_confusion" ->
+      s"""WITH $pagesCte
+         |SELECT lang AS y, tld AS yhat, count(*) AS n
+         |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_class_metrics" ->
+      s"""WITH $pagesCte,
+         |conf AS (SELECT lang AS y, tld AS yhat, count(*) AS n FROM pages GROUP BY 1, 2),
+         |t AS (SELECT y AS cls, CAST(sum(n) AS BIGINT) AS n_true FROM conf GROUP BY 1),
+         |p AS (SELECT yhat AS cls, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+         |d AS (SELECT y AS cls, n AS n_correct FROM conf WHERE y = yhat),
+         |pc AS (SELECT coalesce(t.cls, p.cls) AS cls,
+         |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+         |    coalesce(n_correct, 0) AS n_correct
+         |  FROM t FULL OUTER JOIN p ON t.cls = p.cls
+         |  LEFT JOIN d ON coalesce(t.cls, p.cls) = d.cls),
+         |s AS (SELECT CAST(sum(n_true) AS BIGINT) AS total,
+         |    CAST(sum(n_correct) AS BIGINT) AS correct,
+         |    CAST(sum(n_true * n_pred) AS BIGINT) AS xsum FROM pc),
+         |sc AS (SELECT
+         |    CAST(correct AS DOUBLE) / CAST(total AS DOUBLE) AS oa,
+         |    (CAST(correct AS DOUBLE) / CAST(total AS DOUBLE) -
+         |     CAST(xsum AS DOUBLE) / CAST(total * total AS DOUBLE)) /
+         |    (1.0 - CAST(xsum AS DOUBLE) / CAST(total * total AS DOUBLE)) AS kappa
+         |  FROM s)
+         |SELECT cls, n_true, n_pred, n_correct,
+         |  CASE WHEN n_pred = 0 THEN NULL
+         |       ELSE CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS user_acc,
+         |  CASE WHEN n_true = 0 THEN NULL
+         |       ELSE CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE) END AS producer_acc,
+         |  oa, kappa
+         |FROM pc CROSS JOIN sc ORDER BY cls""".stripMargin
+  )
+
   // ---- text / dedup / vector / lineage oracles ----------------------------
 
   /** corpus -> distinct (id, shingle) CTE chain (Dedup.docShingles). */
@@ -238,7 +273,7 @@ object OracleQueries {
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
 
   private def simhashBitSum: String =
-    (0 until 16).map { b =>
+    (0 until graft.text.SimHash.Bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -264,8 +299,12 @@ object OracleQueries {
          |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_minhash_lsh" -> {
-      val mds = (0 until 8).map(i => s"md5(shingle || '#$i') AS md$i").mkString(", ")
-      val mins = (0 until 8).map(i => s"min(${h32FromMd(s"md$i")}) AS m$i").mkString(", ")
+      // hash family = md5 WORDS of salted shingles (Dedup.minhash):
+      // hash i lives at hex offset 8*(i%4) of md5(shingle [|| '#'||i/4])
+      val mds = Seq("md5(shingle) AS md0", "md5(shingle || '#1') AS md1")
+        .mkString(", ")
+      val mins = (0 until 8).map(i =>
+        s"min(${h32FromMd(s"md${i / 4}", 8 * (i % 4))}) AS m$i").mkString(", ")
       val bandRows = (0 until 4).map { b =>
         s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS key FROM minh"
       }.mkString("\n  UNION ALL ")
@@ -282,7 +321,8 @@ object OracleQueries {
     "q_simhash" ->
       s"""WITH $corpusCte,
          |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
-         |th AS (SELECT id, ${h16Sql("tk")} AS h FROM tok0),
+         |thm AS (SELECT id, md5(tk) AS md FROM tok0),
+         |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
          |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id)
          |SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
@@ -357,6 +397,14 @@ object OracleQueries {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
          |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    "q_dedup_embed" ->
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |cs AS (SELECT id, v, CAST(${lshSigSql("v")} AS BIGINT) AS sig FROM cv)
+         |SELECT a.id AS id_a, b.id AS id_b, ${cosineQSql("a.v", "b.v")} AS cos
+         |FROM cs a JOIN cs b ON a.sig = b.sig AND a.id < b.id
+         |WHERE ${cosineQSql("a.v", "b.v")} >= 0.2
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_multimodal" ->
       s"""WITH $pagesCte
          |SELECT doc_id,
@@ -375,5 +423,5 @@ object OracleQueries {
          |ORDER BY cell""".stripMargin
   )
 
-  val all: Map[String, String] = core ++ textVec
+  val all: Map[String, String] = core ++ classification ++ textVec
 }

@@ -79,4 +79,24 @@ object Pages {
       .withColumn("lat", geotag_lat(col("url")))
       .withColumn("cell", cell_of(col("lon"), col("lat"), res))
   }
+
+  /** Deterministic synthetic page table of arbitrary size (url/warc_ts/
+    * lang shape per input_hint) — seeded by row id only, no external
+    * data. Used by the bench's scaling probe where the driver tables
+    * are too small to exercise parallelism. */
+  def synthetic(spark: SparkSession, nRows: Long, parts: Int): DataFrame =
+    spark.range(0L, nRows, 1L, parts).select(
+      col("id").as("doc_id"),
+      concat(lit("https://h"), col("id"), lit(".example."),
+        tldLadderCol(col("id") % 100), lit("/p")).as("url"),
+      timestamp_seconds(lit(Epoch) + (col("id") % 86400) * 37).as("warc_ts"),
+      tldLadderCol((col("id") * 13) % 100).as("lang"))
+
+  /** Pages + cell only (fused geotag_cell, one md5/row) — for operators
+    * that never touch lon/lat (tile rollups, lineage planning). */
+  def geoCells(spark: SparkSession, dir: String, res: Int): DataFrame = {
+    import graft.functions._
+    fromDocuments(spark, dir)
+      .withColumn("cell", geotag_cell(col("url"), res))
+  }
 }

@@ -34,11 +34,27 @@ object Dedup {
         explode(shingles(col(textCol), k)).as("shingle"))
       .distinct()
 
-  /** MinHash signatures: numHashes 32-bit minima of md5(shingle#i). */
+  /** MinHash signatures: numHashes 32-bit minima. The hash family is
+    * the md5 WORDS of salted shingles — md5(shingle || '#' || salt)
+    * yields FOUR independent 32-bit hashes per digest, so 8 hashes
+    * cost 2 digests per shingle (not 8). Words are projected to plain
+    * columns before the min-aggregate so each digest runs once/row. */
   def minhash(sh: DataFrame, numHashes: Int = 8): DataFrame = {
-    val hashCols = (0 until numHashes).map(i =>
-      min(h32(concat(col("shingle"), lit("#"), lit(i)))).as(s"m$i"))
-    sh.groupBy("id").agg(hashCols.head, hashCols.tail: _*)
+    import graft.functions.md5_words
+    require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+    val nSalts = numHashes / 4
+    val withWords = sh.select(
+      col("id") +:
+        (0 until nSalts).map(s => md5_words(
+          if (s == 0) col("shingle")
+          else concat(col("shingle"), lit(s"#$s"))).as(s"w$s")): _*)
+    val flat = withWords.select(
+      col("id") +:
+        (0 until numHashes).map(i =>
+          element_at(col(s"w${i / 4}"), i % 4 + 1).as(s"h$i")): _*)
+    flat.groupBy("id").agg(
+      min(col("h0")).as("m0"),
+      (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
   /** LSH band keys: rowsPerBand signature values concatenated. Emits
@@ -85,34 +101,28 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.4, numHashes: Int = 8,
                  rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, k)
-    val cand = candidates(bands(minhash(sh, numHashes), numHashes, rowsPerBand))
-    jaccard(cand, sh).filter(col("jaccard") >= threshold)
+    // The shingle relation feeds candidate generation AND both sides of
+    // the jaccard verify, and the band relation feeds both sides of the
+    // bucket self-join — cache both (at warehouse scale: materialize)
+    // instead of re-hashing the corpus per consumer.
+    val sh = docShingles(df, idCol, textCol, k).cache()
+    val bnd = bands(minhash(sh, numHashes), numHashes, rowsPerBand).cache()
+    jaccard(candidates(bnd), sh).filter(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash: bit b set iff sum over token OCCURRENCES of
-    * (+1 if bit b of h16(token) else -1) is positive. */
-  def simhash16(text: Column): Column = {
-    val toks = tokens(text)
-    val bitCols = (0 until 16).map { b =>
-      val contrib = transform(toks, x =>
-        when(shiftright(h16(x).cast("long"), b).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
-      val w = aggregate(contrib, lit(0L), (acc, v) => acc + v)
-      when(w > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
-
-  /** SimHash near-dup: band-join on the 4 signature nibbles (Hamming
-    * <= 3 over 16 bits guarantees >= 1 identical nibble — standard
-    * pigeonhole blocking), verify exact Hamming. */
+  /** SimHash near-dup: 60-bit signatures (graft.text.SimHash via the
+    * codegen'd simhash60 expression), band-join on the 4 15-bit bands
+    * (Hamming <= 3 over 4 bands guarantees >= 1 identical band —
+    * standard pigeonhole blocking), verify exact Hamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), simhash16(col(textCol)).as("sig"))
+    import graft.functions.simhash60
+    import graft.text.SimHash.{BandBits, NumBands}
+    val sig = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
+    val mask = (1L << BandBits) - 1L
     val nib = sig.select(col("id"), col("sig"),
-        explode(array((0 until 4).map(n => struct(lit(n).as("band"),
-          shiftright(col("sig"), n * 4).bitwiseAND(15L).as("key"))): _*)).as("bk"))
+        explode(array((0 until NumBands).map(n => struct(lit(n).as("band"),
+          shiftright(col("sig"), n * BandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
     val a = nib.alias("a"); val b = nib.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -129,11 +139,23 @@ object Dedup {
     * (no LSH): every pair sharing >= 1 shingle is scored exactly. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 3): DataFrame = {
-    val sh = docShingles(df, idCol, textCol, k)
+    val sh = docShingles(df, idCol, textCol, k).cache()
+    // The inverted-index self-join ALREADY enumerates one row per
+    // shared shingle per pair — aggregate it straight into the
+    // intersection size instead of distinct-ing pairs and re-joining
+    // the shingle sets (which would replay |pairs| x |shingles/doc|).
     val a = sh.alias("a"); val b = sh.alias("b")
-    val pairs = a.join(b, col("a.shingle") === col("b.shingle") &&
+    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    jaccard(pairs, sh).filter(col("jaccard") >= threshold)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.GeoTag
+
+/**
+ * Static kernels behind the text expressions (called from generated
+ * code). Each replaces an interpreted higher-order-function pipeline
+ * (transform/aggregate/element_at per element, boxing per step) with
+ * one tight loop per row — the "custom codegen Expression beats
+ * composed HOFs" tier for the per-token hot paths.
+ *
+ * Hash definitions are md5-hex-prefix based and EXACTLY mirror the
+ * DuckDB oracle SQL (Oracle.h4/h32FromMd/h60FromMd): correctness gate
+ * checks them bit-for-bit.
+ */
+object TextKernels {
+
+  /** Split on single space, KEEPING empty tokens — the exact semantics
+    * of Spark's split(text, " ") / DuckDB's string_split. */
+  def splitTokens(text: String): Array[String] = text.split(" ", -1)
+
+  /** Word-k-gram shingles joined by ' '; fewer than k tokens -> empty. */
+  def shingles(text: UTF8String, k: Int): GenericArrayData = {
+    val toks = splitTokens(text.toString)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The 4 big-endian unsigned 32-bit words of md5(s) — ONE digest for
+    * four independent 32-bit hashes (minhash's hash family; word 0 ==
+    * the oracle's h32FromMd(md5_hex, 0), word i == offset 8i). */
+  def md5Words(s: UTF8String): GenericArrayData = {
+    val d = GeoTag.md5Bytes(s.toString)
+    val out = new Array[Any](4)
+    var w = 0
+    while (w < 4) {
+      val o = w * 4
+      out(w) = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+        ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Position-weighted rolling fingerprint (TextOps.fingerprint
+    * parity): sum over tokens of h16(token) * (1-based index), mod
+    * 2147483647. h16 = first 4 hex nibbles of md5 = first 2 bytes. */
+  def fingerprint(text: UTF8String): Long = {
+    val toks = splitTokens(text.toString)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val d = GeoTag.md5Bytes(toks(i))
+      val h16 = ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
+      acc += h16 * (i + 1L)
+      i += 1
+    }
+    acc % 2147483647L
+  }
+}

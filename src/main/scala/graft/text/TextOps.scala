@@ -35,16 +35,11 @@ object TextOps {
         hexv(substring(md5(s.cast("binary")), 7, 1)) * 16 +
         hexv(substring(md5(s.cast("binary")), 8, 1))).cast("long")
 
-  /** Word-k-gram shingles (k consecutive tokens joined by ' ').
-    * Guarded: fewer than k tokens -> empty array (Spark's sequence()
-    * would otherwise count DOWN for a negative span). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val t = tokens(text)
-    when(size(t) >= k,
-      transform(sequence(lit(0), size(t) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word-k-gram shingles (k consecutive tokens joined by ' ');
+    * fewer than k tokens -> empty array. One codegen'd kernel call
+    * (TextKernels.shingles) per row. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.shingles_k(text, k)
 
   /** Language-ID by marker-token votes: argmax of per-language marker
     * hits, ties broken by list order (deterministic). */
@@ -90,10 +85,8 @@ object TextOps {
       .cast("long")
 
   /** Position-weighted rolling fingerprint:
-    * sum(h16(token_i) * i) mod 2147483647 (1-based i; exact in Long). */
-  def fingerprint(text: Column): Column = {
-    val weighted = transform(tokens(text),
-      (x, i) => h16(x).cast("long") * (i.cast("long") + 1L))
-    aggregate(weighted, lit(0L), (acc, v) => acc + v) % 2147483647L
-  }
+    * sum(h16(token_i) * i) mod 2147483647 (1-based i; exact in Long).
+    * One codegen'd kernel call (TextKernels.fingerprint) per row. */
+  def fingerprint(text: Column): Column =
+    graft.functions.doc_fingerprint(text)
 }

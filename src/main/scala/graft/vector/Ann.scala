@@ -63,6 +63,20 @@ object Ann {
       when(dotQ(w, qv) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-dup pairs (the dedup-family member over
+    * vectors): block by full LSH signature (same-bucket self-join — no
+    * cross product), verify exact cosine >= threshold. Deterministic
+    * contract: all same-signature pairs with cosine >= t, a < b. */
+  def cosineNearDup(corpus: DataFrame, dim: Int,
+                    threshold: Double): DataFrame = {
+    val c = corpus.withColumn("sig", lshSignature(col("v"), dim))
+    val a = c.alias("a"); val b = c.alias("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineQ(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed ANN: candidates share the full signature bucket; each
     * query returns its exact top-k within the bucket (a recall-bounded
     * approximation of cosineTopK — the deterministic contract is

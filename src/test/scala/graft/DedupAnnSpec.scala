@@ -46,15 +46,26 @@ class DedupAnnSpec extends AnyFunSuite {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
     assert(pairs((1L, 2L)) == 0L)
-    // brute force over all signatures must give the same <=3 pairs
-    val sigs = docs.select($"doc_id", Dedup.simhash16($"text").as("s"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over driver-side kernel signatures gives the same pairs
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sigs = texts.map { case (id, t) => id -> graft.text.SimHash.sig60(t) }
     val brute = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
       h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
       if h <= 3
     } yield ((a, b), h.toLong)).toMap
     assert(pairs == brute)
+  }
+
+  test("simhash60 expression matches kernel; h60 is 15 md5 nibbles") {
+    val t = "alpha beta gamma"
+    val got = docs.limit(1).select(graft.functions.simhash60(lit(t)))
+      .collect()(0).getLong(0)
+    assert(got == graft.text.SimHash.sig60(t))
+    // h60 equals the first 15 hex chars of md5 parsed big-endian
+    val md = graft.geo.GeoTag.md5Hex("alpha")
+    assert(graft.text.SimHash.h60("alpha") ==
+      java.lang.Long.parseLong(md.substring(0, 15), 16))
   }
 
   test("ngram jaccard scores the planted near-dup correctly") {
@@ -91,6 +102,28 @@ class DedupAnnSpec extends AnyFunSuite {
       val mine = got.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4))
       assert(mine.toSeq == expect, s"qid=$qid")
     }
+  }
+
+  test("cosineNearDup == brute-force same-signature pairs >= threshold") {
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val got = Ann.cosineNearDup(c, 64, 0.05).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val qv = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(f => (f.toDouble * 10000.0).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    def sig(v: Array[Long]): Long = (0 until Ann.NumPlanes).map { p =>
+      val w = Ann.planeArray(p, 64).toArray
+      if (dot(w, v) > 0) 1L << p else 0L
+    }.sum
+    val brute = (for {
+      a <- qv.keys; b <- qv.keys
+      if a < b && sig(qv(a)) == sig(qv(b)) && cos(qv(a), qv(b)) >= 0.05
+    } yield ((a, b), cos(qv(a), qv(b)))).toMap
+    assert(got.keySet == brute.keySet)
+    got.foreach { case (k, v) => assert(v == brute(k)) }
   }
 
   test("lsh top-k returns each query itself at rank 1 (same bucket)") {

@@ -75,6 +75,29 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("geotag_cell == cell_of(geotag_lon, geotag_lat) (fusion parity)") {
+    val urls = (0 until 200).map(i => (i.toLong,
+      s"https://h$i.example.${if (i % 3 == 0) "jp" else "zz"}/p"))
+      .toDF("id", "url")
+    val rows = urls.select(
+      geotag_cell($"url", 12).as("fused"),
+      cell_of(geotag_lon($"url"), geotag_lat($"url"), 12).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("cell_in_ranges matches CellIndex.inRanges through codegen") {
+    val flat = CellIndex.coverRanges(
+      CellIndex.coverRect(0.0, 0.0, 90.0, 60.0, 6), 12)
+    val rows = coords.select($"lon", $"lat",
+      cell_in_ranges(cell_of($"lon", $"lat", 12), flat).as("in"))
+      .collect()
+    rows.foreach { r =>
+      val c = CellIndex.encode(r.getDouble(0), r.getDouble(1), 12)
+      assert(r.getBoolean(2) == CellIndex.inRanges(c, flat))
+    }
+  }
+
   test("point_in_poly matches kernel through codegen (concave)") {
     val poly = Polygon.registry("asia_l")
     val rows = coords.select($"lon", $"lat",

@@ -41,6 +41,21 @@ class GeoSpec extends AnyFunSuite with PropHelper {
     assert(GeoTag.tldOf("localhost") == "")
   }
 
+  test("byte-level lonLatBytes == string lonLat (incl. adversarial urls)") {
+    val urls = Seq(
+      "https://h1.example.de/p", "http://a.b.jp/q/r", "https://x.io",
+      "https://", "http://", "not-a-url", "", "https:////x",
+      "httpx://a.de/p", "https://nodots/p", "https://a.b.de",
+      "https://a.verylongtldxyz/p", "https://h9.example.zz/p",
+      "https://a.b.c.d.us/deep/path?q=1") ++
+      (0 until 500).map(i => s"https://h$i.example.${
+        Seq("de", "ru", "jp", "io", "zz")(i % 5)}/p")
+    urls.foreach { u =>
+      val b = u.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(GeoTag.lonLatBytes(b, 0, b.length) == GeoTag.lonLat(u), s"url=$u")
+    }
+  }
+
   test("md5Hex matches JDK reference") {
     assert(GeoTag.md5Hex("abc") == "900150983cd24fb0d6963f7d28e17f72")
     assert(GeoTag.md5Hex("") == "d41d8cd98f00b204e9800998ecf8427e")
