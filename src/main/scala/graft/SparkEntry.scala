@@ -288,6 +288,23 @@ object SparkEntry {
       .orderBy("pid")
   }
 
+  /** J1 again through the SALTED shuffle-join path (SURVEY.md §4.3:
+    * hot ccTLD cells; result-identical to qExtract by construction,
+    * verified against the same oracle). */
+  def qSaltedExtract(spark: SparkSession, dir: String): DataFrame = {
+    val points = Extract.pointsWithCells(
+      Points.fromTable(spark, dir, "customer", "c_custkey",
+        Seq("c_mktsegment"), "c"), JoinRes)
+      .select("pid", "c_mktsegment", "cell")
+    val raster = Pages.geoCells(spark, dir, JoinRes)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pages"), sum("n_chars").as("sum_chars"))
+    graft.ops.Skew.saltedEquiJoin(raster, points, Seq("cell"), col("cell"))
+      .select(col("pid"), col("c_mktsegment").as("segment"),
+        col("n_pages"), col("sum_chars"))
+      .orderBy("pid")
+  }
+
   // ---- kNN (ring expansion) -----------------------------------------------
 
   /** Cell-ring-expansion kNN join: 25 nation query points x pages,
@@ -456,6 +473,7 @@ object SparkEntry {
     "q_calibrate" -> (qCalibrate _),
     "q_correction" -> (qCorrection _),
     "q_extract" -> (qExtract _),
+    "q_salted_extract" -> (qSaltedExtract _),
     "q_confusion" -> (qConfusion _),
     "q_class_metrics" -> (qClassMetrics _),
     "q_knn" -> (qKnn _),

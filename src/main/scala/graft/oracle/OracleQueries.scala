@@ -13,6 +13,15 @@ object OracleQueries {
   private val JoinRes = 8
   private val firstTen = (0 until 10).map(i => s"'src$i'").mkString(", ")
 
+  private lazy val extractSql: String =
+    s"""${geoPrefixAnd(JoinRes,
+      s"""raster AS (SELECT cell, count(*) AS n_pages,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM enc GROUP BY 1),
+         |${pointsChain("customer", "c_custkey", Seq("c_mktsegment"), "c", "cpt")},
+         |${encChain("cpt", JoinRes, "cptc")}""".stripMargin)}
+       |SELECT p.pid, p.c_mktsegment AS segment, r.n_pages, r.sum_chars
+       |FROM cptc p JOIN raster r ON p.cell = r.cell ORDER BY p.pid""".stripMargin
+
   private val core: Map[String, String] = Map(
     "q_tpch_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
@@ -193,14 +202,10 @@ object OracleQueries {
          |  (CASE WHEN v*7 - 10 < 0 THEN v*7 ELSE v*7 - 10 END) % 65536 AS corrected
          |FROM base ORDER BY cell""".stripMargin,
 
-    "q_extract" ->
-      s"""${geoPrefixAnd(JoinRes,
-        s"""raster AS (SELECT cell, count(*) AS n_pages,
-           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM enc GROUP BY 1),
-           |${pointsChain("customer", "c_custkey", Seq("c_mktsegment"), "c", "cpt")},
-           |${encChain("cpt", JoinRes, "cptc")}""".stripMargin)}
-         |SELECT p.pid, p.c_mktsegment AS segment, r.n_pages, r.sum_chars
-         |FROM cptc p JOIN raster r ON p.cell = r.cell ORDER BY p.pid""".stripMargin,
+    "q_extract" -> extractSql,
+    // the salted join is result-identical to the plain equi-join —
+    // same oracle statement verifies the skew path bit-for-bit
+    "q_salted_extract" -> extractSql,
 
     "q_knn" ->
       s"""${geoPrefixAnd(JoinRes,

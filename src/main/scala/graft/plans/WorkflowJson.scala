@@ -1,0 +1,98 @@
+package graft.plans
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+import graft.functions._
+import graft.geo.Polygon
+import graft.ops.{Clip, Mask, Resample, Tiles}
+import graft.sources.Pages
+
+/**
+ * Declarative JSON workflow loader — the functional version of the
+ * reference's vestigial `WorkFlowParser`/`GeoRWf` (geoRpro
+ * tasks.py:47-119: a whitelist validator over `{task: {inp, out,
+ * operations: {op: params}}}` whose runner class never existed).
+ *
+ * Here a task compiles to ONE lazy DataFrame plan — each operation is a
+ * `DataFrame => DataFrame` transformer folded in JSON order, so Catalyst
+ * sees the whole chain (the reference materialized after every step,
+ * SURVEY.md §3.1). Unknown tasks/attributes/operations fail fast with
+ * the op name (the reference raised a bare ValueError on the first
+ * entry, tasks.py:59-66).
+ */
+object WorkflowJson {
+
+  val Attrs = Set("inp", "out", "operations")
+
+  /** op name -> (params, df) => df. The whitelist (TASKS analog). */
+  val Ops: Map[String, (JsonNode, DataFrame) => DataFrame] = Map(
+    // F16/F15: geotag + cell encode at params.res (lon/lat kept so
+    // downstream clips can refine exactly, Pages.geoPages parity)
+    "geotag" -> ((p, df) => df
+      .withColumn("lon", geotag_lon(col("url")))
+      .withColumn("lat", geotag_lat(col("url")))
+      .withColumn("cell", cell_of(col("lon"), col("lat"), p.get("res").asInt))),
+    // P1/P3 mask_raster analog: mask col where value in values, fill
+    "mask_vals" -> { (p, df) =>
+      val c = p.get("col").asText
+      val vals = p.get("values").elements.asScala.map(_.asText).toSeq
+      val fill = p.get("fill").asLong
+      df.withColumn(c + "_masked",
+        Mask.applyMask(Mask.maskCond(col(c), col(p.get("on").asText).isin(vals: _*)), fill))
+    },
+    // S3 windowed clip
+    "clip_window" -> ((p, df) => Clip.window(df, p.get("res").asInt,
+      p.get("lonMin").asDouble, p.get("latMin").asDouble,
+      p.get("lonMax").asDouble, p.get("latMax").asDouble)),
+    // S4 polygon clip by registry name
+    "clip_poly" -> ((p, df) => Clip.byPolygon(df,
+      Polygon.registry(p.get("name").asText), p.get("res").asInt)),
+    // A12/R3 rasterize to tiles
+    "tile_density" -> ((p, df) => Tiles.rasterize(df,
+      p.get("res").asInt, p.get("tileRes").asInt)),
+    // R1 downsample of a (cell, v) relation
+    "resample" -> ((p, df) => Resample.downsample(df,
+      p.get("col").asText, p.get("steps").asInt, p.get("agg").asText)),
+    // generic projection/filter escape hatches (SQL fragments)
+    "select" -> ((p, df) =>
+      df.selectExpr(p.elements.asScala.map(_.asText).toSeq: _*)),
+    "filter" -> ((p, df) => df.filter(p.asText))
+  )
+
+  def parse(json: String): JsonNode = new ObjectMapper().readTree(json)
+
+  /** Compile one task node to a lazy plan over sfDir tables. */
+  def compileTask(spark: SparkSession, sfDir: String, task: JsonNode): DataFrame = {
+    task.fieldNames.asScala.foreach { a =>
+      require(Attrs.contains(a), s"unknown task attribute '$a' (allowed: $Attrs)")
+    }
+    val inp = task.get("inp").asText
+    val base = inp match {
+      case "pages" => Pages.fromDocuments(spark, sfDir)
+      case t => Pages.table(spark, sfDir, t)
+    }
+    val ops = task.get("operations")
+    ops.fieldNames.asScala.foldLeft(base) { (df, op) =>
+      val f = Ops.getOrElse(op,
+        throw new IllegalArgumentException(
+          s"unknown operation '$op' (allowed: ${Ops.keys.toSeq.sorted})"))
+      f(ops.get(op), df)
+    }
+  }
+
+  /** Compile every task; write those with an `out` attribute. */
+  def run(spark: SparkSession, sfDir: String, json: String): Map[String, DataFrame] = {
+    val root = parse(json)
+    root.fieldNames.asScala.map { name =>
+      val task = root.get(name)
+      val df = compileTask(spark, sfDir, task)
+      if (task.has("out"))
+        df.write.mode("overwrite").parquet(task.get("out").asText)
+      name -> df
+    }.toMap
+  }
+}
