@@ -59,10 +59,13 @@ object Knn {
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
       val cands = pages.join(broadcast(probe), Seq("cell"))
       val topk = topkOf(cands).cache() // <= |pending| * k rows
-      // exact iff k found AND kth distance within the disk guarantee
+      // exact iff k found AND kth distance STRICTLY within the disk
+      // guarantee (any point outside disk(r) is >= r*cellH away; strict
+      // < also rules out an equal-distance outside point winning the
+      // (dist2, id) tiebreak with a smaller id)
       val doneIds = topk.groupBy("qid")
         .agg(count(lit(1)).as("cnt"), max("dist2").as("kth"))
-        .filter(col("cnt") === k && col("kth") <= lit((r * cellH) * (r * cellH)))
+        .filter(col("cnt") === k && col("kth") < lit((r * cellH) * (r * cellH)))
         .select("qid").collect().map(_.get(0)).toSeq // keep qid's own type
       if (doneIds.nonEmpty) {
         val finished = topk.filter(col("qid").isInCollection(doneIds))
