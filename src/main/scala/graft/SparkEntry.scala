@@ -150,6 +150,13 @@ object SparkEntry {
     Overlaps.allPairs(Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"))
       .orderBy("src_a", "src_b")
 
+  /** J3: one reference source's extent vs all others (broadcast 1xN,
+    * find_tile_overlap analog). */
+  def qOneVsAll(spark: SparkSession, dir: String): DataFrame =
+    Overlaps.oneVsAll(
+        Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"), "src0")
+      .orderBy("src_b")
+
   /** J5: semi-join — keep (source, lang) extents containing >= 1
     * Japanese customer point (LEFT SEMI replaces the break-on-first). */
   def qSemiPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -463,6 +470,7 @@ object SparkEntry {
     "q_clip_poly" -> (qClipPoly _),
     "q_extent" -> (qExtent _),
     "q_overlaps" -> (qOverlaps _),
+    "q_one_vs_all" -> (qOneVsAll _),
     "q_semi_points" -> (qSemiPoints _),
     "q_resample" -> (qResample _),
     "q_upsample" -> (qUpsample _),

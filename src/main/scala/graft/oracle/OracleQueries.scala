@@ -98,6 +98,20 @@ object OracleQueries {
          |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
          |ORDER BY 1, 2""".stripMargin,
 
+    "q_one_vs_all" ->
+      s"""${geoPrefixAnd(Res,
+        """ext AS (SELECT source AS src, min(lon) AS lon_min, min(lat) AS lat_min,
+          |  max(lon) AS lon_max, max(lat) AS lat_max FROM geo GROUP BY 1)""".stripMargin)}
+         |SELECT a.src AS src_a, b.src AS src_b,
+         |  greatest(a.lon_min, b.lon_min) AS ilon_min,
+         |  greatest(a.lat_min, b.lat_min) AS ilat_min,
+         |  least(a.lon_max, b.lon_max) AS ilon_max,
+         |  least(a.lat_max, b.lat_max) AS ilat_max
+         |FROM ext a JOIN ext b ON a.src = 'src0' AND b.src <> 'src0'
+         |  AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+         |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+         |ORDER BY src_b""".stripMargin,
+
     "q_semi_points" ->
       s"""${geoPrefixAnd(Res,
         s"""ext AS (SELECT source, lang, min(lon) AS lon_min, min(lat) AS lat_min,
