@@ -34,6 +34,37 @@ class MediaLineageSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end resumable tile job: crash + resume == one-shot") {
+    import graft.functions._
+    import graft.sources.Pages
+    val base = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val pages = Pages.geoCells(spark, "/root/testdata/sf0.001", 12)
+      .withColumn("tile", cell_parent(col("cell"), 6))
+    val planned = pages.select(col("tile").as("cell")).distinct()
+    def work(todo: org.apache.spark.sql.DataFrame) =
+      pages.join(broadcast(todo.select(col("cell").as("tile"))), Seq("tile"))
+        .groupBy("tile").agg(count(lit(1)).as("n"))
+
+    // run 1 "crashes" after completing only even-x tiles
+    val todo1 = Lineage.pending(planned, Lineage.readManifest(spark, base), "j", "s")
+      .filter(cell_x(col("cell")) % 2 === 0)
+    val out1 = work(todo1).collect()
+    Lineage.recordCompleted(spark, base, "j", "s",
+      todo1.withColumn("rows_in", lit(0L)).withColumn("rows_out", lit(0L)))
+
+    // run 2 resumes: only the unfinished tiles are pending
+    val todo2 = Lineage.pending(planned, Lineage.readManifest(spark, base), "j", "s")
+    assert(todo2.count() == planned.count() - todo1.count())
+    assert(todo2.join(todo1, Seq("cell")).count() == 0)
+    val out2 = work(todo2).collect()
+
+    // union of the two runs == the one-shot job
+    val resumed = (out1 ++ out2).map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val oneShot = work(planned).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(resumed == oneShot && oneShot.nonEmpty)
+  }
+
   test("lineage: manifest roundtrip + resume skips completed cells") {
     val base = java.nio.file.Files.createTempDirectory("graft_lineage").toString
     val planned = spark.range(10).select($"id".as("cell"))
