@@ -273,6 +273,60 @@ case class SimHash60(child: Expression) extends UnaryExpression with ExpectsInpu
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(c)
 }
 
+/** dot_q(a, b): exact integer dot product of two long-array columns —
+  * one codegen'd loop per row (the interpreted zip_with+aggregate HOF
+  * pair costs ~20x on 64-dim vectors). Equal lengths expected (vector
+  * contract); the shorter length bounds the loop otherwise. */
+object veckernels {
+  def dotQ(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** trunc(x_double * 10000) per element — identical to
+    * (x.cast(double) * 10000.0).cast(long): toLong truncates toward 0. */
+  def quantize(v: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = (v.getFloat(i).toDouble * 10000.0).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** quantize_q(v): float array -> trunc(x * 10000) long array (Ann
+  * quantization; one loop/row instead of a per-element HOF). */
+case class QuantizeQ(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize_q"
+  protected override def nullSafeEval(v: Any): Any =
+    veckernels.quantize(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.veckernels.quantize($v)")
+  override protected def withNewChildInternal(c: Expression): QuantizeQ = copy(c)
+}
+
+case class DotQ(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_q"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    veckernels.dotQ(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.veckernels.dotQ($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotQ = copy(l, r)
+}
+
 /** shingles_k(text, k): word-k-gram shingles (TextKernels.shingles). */
 case class ShinglesK(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -300,6 +354,19 @@ case class Md5Words(child: Expression) extends UnaryExpression with ExpectsInput
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.text.TextKernels.md5Words($s)")
   override protected def withNewChildInternal(c: Expression): Md5Words = copy(c)
+}
+
+/** lang_scores(text): per-language marker-vote counts (one pass). */
+case class LangScores(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lang_scores"
+  protected override def nullSafeEval(text: Any): Any =
+    graft.text.TextKernels.langScores(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.TextKernels.langScores($t)")
+  override protected def withNewChildInternal(c: Expression): LangScores = copy(c)
 }
 
 /** doc_fingerprint(text): position-weighted rolling h16 sum mod 2^31-1. */

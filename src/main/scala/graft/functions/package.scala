@@ -61,8 +61,17 @@ package object functions {
   /** The 4 unsigned 32-bit md5 words (one digest, 4 hashes). */
   def md5_words(s: Column): Column = toCol(Md5Words(toExpr(s)))
 
+  /** Exact integer dot product of two long-array columns (codegen'd). */
+  def dot_q(a: Column, b: Column): Column = toCol(DotQ(toExpr(a), toExpr(b)))
+
   /** Position-weighted rolling document fingerprint. */
   def doc_fingerprint(text: Column): Column = toCol(DocFingerprint(toExpr(text)))
+
+  /** Per-language marker-vote counts (TextOps.langMarkers order). */
+  def lang_scores(text: Column): Column = toCol(LangScores(toExpr(text)))
+
+  /** Quantize a float-array column to long (trunc(x * 10000)). */
+  def quantize_q(v: Column): Column = toCol(QuantizeQ(toExpr(v)))
 
   /** Fused float32 normalized difference (numpy parity, raster.py:544+). */
   def norm_diff(a: Column, b: Column): Column =

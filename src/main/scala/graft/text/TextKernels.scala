@@ -59,6 +59,31 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-language marker-vote counts in TextOps.langMarkers order —
+    * one tokenize pass instead of one interpreted filter() HOF per
+    * marker (12 passes). Counts token OCCURRENCES equal to a marker. */
+  def langScores(text: UTF8String): GenericArrayData = {
+    val markers = TextOps.langMarkers
+    val out = new Array[Long](markers.length)
+    val toks = splitTokens(text.toString)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var l = 0
+      while (l < markers.length) {
+        val ms = markers(l)._2
+        var m = 0
+        while (m < ms.length) {
+          if (ms(m) == tok) out(l) += 1
+          m += 1
+        }
+        l += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
   /** Position-weighted rolling fingerprint (TextOps.fingerprint
     * parity): sum over tokens of h16(token) * (1-based index), mod
     * 2147483647. h16 = first 4 hex nibbles of md5 = first 2 bytes. */

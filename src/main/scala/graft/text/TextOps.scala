@@ -49,10 +49,11 @@ object TextOps {
     "speedish" -> Seq("fast", "slow", "small", "value"))
 
   def langScores(text: Column): Seq[(String, Column)] = {
-    val t = tokens(text)
-    langMarkers.map { case (lang, markers) =>
-      lang -> markers.map(m =>
-        size(filter(t, x => x === lit(m)))).reduce(_ + _).cast("long")
+    // single kernel pass over the tokens (CSE collapses the repeated
+    // lang_scores subtree within one projection)
+    val arr = graft.functions.lang_scores(text)
+    langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(arr, i + 1)
     }
   }
 

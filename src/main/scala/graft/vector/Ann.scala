@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Quantize a float array column to Long (trunc toward zero). */
-  def quantize(v: Column): Column =
-    transform(v, x => (x.cast("double") * 10000.0).cast("long"))
+  /** Quantize a float array column to Long (trunc toward zero) — one
+    * codegen'd loop per row (QuantizeQ kernel). */
+  def quantize(v: Column): Column = graft.functions.quantize_q(v)
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — the codegen'd
+    * DotQ kernel (one tight loop/row; the zip_with+aggregate HOF pair
+    * evaluates interpreted per element). */
+  def dotQ(a: Column, b: Column): Column = graft.functions.dot_q(a, b)
 
   /** Cosine from quantized vectors (one double division at the end).
     * try_divide: a zero vector yields NULL, not an ANSI error. */
@@ -36,11 +37,22 @@ object Ann {
     try_divide(dotQ(a, b).cast("double"),
       sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
 
+  /** Cosine with PRE-COMPUTED squared norms — the pair-join hot path
+    * (norms are per-vector, computing them per candidate pair does 3
+    * dot products where 1 suffices). Bit-identical to cosineQ: same
+    * operations in the same order. */
+  private def cosineFromParts(dot: Column, n2a: Column, n2b: Column): Column =
+    try_divide(dot.cast("double"),
+      sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
   /** Brute-force cosine top-k: queries (qid, qv) x corpus (id, v).
     * Returns (qid, rank, id, cos) with rank 1..k; ties -> lower id. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("cos", cosineQ(col("qv"), col("v")))
+    val q = queries.withColumn("qn2", dotQ(col("qv"), col("qv")))
+    val c = corpus.withColumn("n2", dotQ(col("v"), col("v")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos",
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -70,10 +82,12 @@ object Ann {
   def cosineNearDup(corpus: DataFrame, dim: Int,
                     threshold: Double): DataFrame = {
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim))
+      .withColumn("n2", dotQ(col("v"), col("v")))
     val a = c.alias("a"); val b = c.alias("b")
     a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineQ(col("a.v"), col("b.v")).as("cos"))
+        cosineFromParts(dotQ(col("a.v"), col("b.v")),
+          col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -84,9 +98,12 @@ object Ann {
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
               k: Int): DataFrame = {
     val q = queries.withColumn("sig", lshSignature(col("qv"), dim))
+      .withColumn("qn2", dotQ(col("qv"), col("qv")))
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim))
+      .withColumn("n2", dotQ(col("v"), col("v")))
     val scored = c.join(broadcast(q), Seq("sig"))
-      .withColumn("cos", cosineQ(col("qv"), col("v")))
+      .withColumn("cos",
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
