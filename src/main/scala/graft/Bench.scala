@@ -17,16 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
+  private def session(cpus: Int): SparkSession = Sessions.local(cpus)
 
   /** Execute the full plan (all columns) and return wall seconds. */
   private def time(df: DataFrame): Double = {
@@ -53,19 +44,33 @@ object Bench {
     // so the scaling probe runs the same tiling pipeline (url -> fused
     // geotag+cell encode -> tile rollup) over a deterministic synthetic
     // page table (no external data; seeded by row id).
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "128000000").toLong
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "384000000").toLong
     def tileJob(s: SparkSession, parts: Int): DataFrame =
       Scaling.tileJob(s, nPages, parts)
     val nTiles = tileJob(spark, cpus).count()
-    def headline(p: Int): Double = {
+    // Interleave the two parallelism legs (8,32,8,32) and take per-leg
+    // minima: the shared box's load varies on the minutes scale, and a
+    // sequential t8-then-t32 measurement folds that drift straight into
+    // the efficiency ratio.
+    def leg(p: Int, warm: Boolean): Double = {
       spark.stop()
       spark = session(p)
       spark.sparkContext.setLogLevel("WARN")
-      time(tileJob(spark, p)) // JIT warm
-      Seq.fill(2)(time(tileJob(spark, p))).min
+      // 4 task waves per leg: seconds-long tasks overlap transient
+      // box-load stragglers (single-wave legs fold any blip straight
+      // into the ratio); same practice as 3-4x tasks/core on a cluster.
+      if (warm) time(tileJob(spark, p * 4)) // JIT warm, first leg only
+      time(tileJob(spark, p * 4))
     }
-    val t8 = headline(8)
-    val t32 = headline(32)
+    // interleaved rounds (8,32)x3, min per leg: the shared box
+    // sporadically halves CPU throughput for stretches (measured via
+    // process-CPU-time probes in graft.Scaling) — per-leg minima over
+    // interleaved rounds approximate the unloaded machine for BOTH legs
+    val rounds = (0 until 3).map { i =>
+      (leg(8, warm = i == 0), leg(32, warm = i == 0))
+    }
+    val t8 = rounds.map(_._1).min
+    val t32 = rounds.map(_._2).min
     val eff = (t8 / t32) / 4.0
     spark.stop()
 

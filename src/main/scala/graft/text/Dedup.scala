@@ -14,7 +14,7 @@ import TextOps._
  *
  * Scale notes: every pipeline is candidate-generation-by-equi-join (no
  * all-pairs product anywhere); the verify step touches only candidate
- * pairs. All hashes are md5-derived (TextOps.h16/h32) so the DuckDB
+ * pairs. All hashes are md5-derived (TextKernels/SimHash) so the DuckDB
  * oracle reproduces every signature exactly. Tiebreaks are explicit
  * (min doc_id keeper, a<b pair order) — deterministic at any
  * parallelism.

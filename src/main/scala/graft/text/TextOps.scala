@@ -16,24 +16,9 @@ object TextOps {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  private def hexv(c: Column): Column =
-    when(c.between("0", "9"), ascii(c) - 48).otherwise(ascii(c) - 87)
-
-  /** 16-bit hash of a string: first 4 hex chars of md5 (GeoTag.h4(md,0)
-    * parity — the SQL oracle uses the identical CASE/ascii form). */
-  def h16(s: Column): Column = {
-    val md = md5(s.cast("binary"))
-    hexv(substring(md, 1, 1)) * 4096 + hexv(substring(md, 2, 1)) * 256 +
-      hexv(substring(md, 3, 1)) * 16 + hexv(substring(md, 4, 1))
-  }
-
-  /** 32-bit hash: first 8 hex chars of md5. */
-  def h32(s: Column): Column =
-    h16(s).cast("long") * 65536L +
-      (hexv(substring(md5(s.cast("binary")), 5, 1)) * 4096 +
-        hexv(substring(md5(s.cast("binary")), 6, 1)) * 256 +
-        hexv(substring(md5(s.cast("binary")), 7, 1)) * 16 +
-        hexv(substring(md5(s.cast("binary")), 8, 1))).cast("long")
+  // Hash definitions (h16 = first 4 md5 hex nibbles, 32-bit words = md5
+  // byte words) live in TextKernels / SimHash as codegen kernels; the
+  // DuckDB oracle re-derives them in SQL (Oracle.h4/h32FromMd/h60FromMd).
 
   /** Word-k-gram shingles (k consecutive tokens joined by ' ');
     * fewer than k tokens -> empty array. One codegen'd kernel call
