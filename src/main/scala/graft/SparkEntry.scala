@@ -109,6 +109,14 @@ object SparkEntry {
         sum("b1").as("sum_b1"))
       .orderBy("source")
 
+  /** P6 + W2: low-"cloud"-coverage source filter (get_low_cc,
+    * filter_imgs.py:81-96) sorted by coverage (the overlap.sort()
+    * analog, filter_imgs.py:130). */
+  def qLowCc(spark: SparkSession, dir: String): DataFrame =
+    Mask.lowCoverage(Pages.fromDocuments(spark, dir), "source",
+        col("lang").isin("en", "de"), 0.45)
+      .orderBy("cc", "source")
+
   /** A1: value histogram (np.unique(return_counts=True) analog). */
   def qHistogram(spark: SparkSession, dir: String): DataFrame =
     Pages.fromDocuments(spark, dir)
@@ -466,6 +474,7 @@ object SparkEntry {
     "q_tile_density" -> (qTileDensity _),
     "q_mask_fill" -> (qMaskFill _),
     "q_histogram" -> (qHistogram _),
+    "q_low_cc" -> (qLowCc _),
     "q_clip_window" -> (qClipWindow _),
     "q_clip_poly" -> (qClipPoly _),
     "q_extent" -> (qExtent _),

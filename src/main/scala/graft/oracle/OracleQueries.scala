@@ -64,6 +64,14 @@ object OracleQueries {
          |SELECT lang, (n_chars // 100) AS bucket, count(*) AS n
          |FROM pages GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_low_cc" ->
+      s"""WITH $pagesCte,
+         |g AS (SELECT source,
+         |  CAST(sum(CASE WHEN lang IN ('en','de') THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS cc
+         |  FROM pages GROUP BY 1)
+         |SELECT source, cc FROM g WHERE cc < 0.45 ORDER BY cc, source""".stripMargin,
+
     "q_clip_window" ->
       s"""${geoPrefix(Res)}
          |SELECT tld, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
