@@ -303,6 +303,23 @@ object SparkEntry {
       .orderBy("pid")
   }
 
+  /** J1 + P4: extraction with the 9999-sentinel fully-masked-point
+    * drop (extract.py:205-207) — cells with n_pages % 5 == 0 carry the
+    * sentinel in EVERY band and must vanish. */
+  def qExtractMasked(spark: SparkSession, dir: String): DataFrame = {
+    val points = Points.fromTable(spark, dir, "customer", "c_custkey",
+      Seq("c_mktsegment"), "c")
+    val masked = Pages.geoCells(spark, dir, JoinRes)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_pages"), sum("n_chars").as("sum_chars"))
+      .select(col("cell"),
+        when(col("n_pages") % 5 === 0, 9999L).otherwise(col("n_pages")).as("b1"),
+        when(col("n_pages") % 5 === 0, 9999L).otherwise(col("sum_chars")).as("b2"))
+    Extract.extract(points, masked, JoinRes, Seq("b1", "b2"), Some(9999L))
+      .select(col("pid"), col("b1"), col("b2"))
+      .orderBy("pid")
+  }
+
   /** J1 again through the SALTED shuffle-join path (SURVEY.md §4.3:
     * hot ccTLD cells; result-identical to qExtract by construction,
     * verified against the same oracle). */
@@ -491,6 +508,7 @@ object SparkEntry {
     "q_correction" -> (qCorrection _),
     "q_extract" -> (qExtract _),
     "q_salted_extract" -> (qSaltedExtract _),
+    "q_extract_masked" -> (qExtractMasked _),
     "q_confusion" -> (qConfusion _),
     "q_class_metrics" -> (qClassMetrics _),
     "q_knn" -> (qKnn _),

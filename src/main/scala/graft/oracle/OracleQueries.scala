@@ -229,6 +229,20 @@ object OracleQueries {
     // same oracle statement verifies the skew path bit-for-bit
     "q_salted_extract" -> extractSql,
 
+    "q_extract_masked" ->
+      s"""${geoPrefixAnd(JoinRes,
+        s"""raster AS (SELECT cell, count(*) AS n_pages,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM enc GROUP BY 1),
+           |masked AS (SELECT cell,
+           |  CAST(CASE WHEN n_pages % 5 = 0 THEN 9999 ELSE n_pages END AS BIGINT) AS b1,
+           |  CAST(CASE WHEN n_pages % 5 = 0 THEN 9999 ELSE sum_chars END AS BIGINT) AS b2
+           |  FROM raster),
+           |${pointsChain("customer", "c_custkey", Seq("c_mktsegment"), "c", "cpt")},
+           |${encChain("cpt", JoinRes, "cptc")}""".stripMargin)}
+         |SELECT p.pid, m.b1, m.b2
+         |FROM cptc p JOIN masked m ON p.cell = m.cell
+         |WHERE NOT (m.b1 = 9999 AND m.b2 = 9999) ORDER BY p.pid""".stripMargin,
+
     "q_knn" ->
       s"""${geoPrefixAnd(JoinRes,
         s"""${pointsChain("nation", "n_nationkey", Nil, "n", "npt")},

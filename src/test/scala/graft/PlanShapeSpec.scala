@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan discipline: the shapes that make the engine scale must
+ * survive refactors — dim sides broadcast, aggregates combine map-side,
+ * scans prune columns. (TileStoreSpec covers storage pushdown;
+ * ExpressionSpec covers codegen.)
+ */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkSessionHelper.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("dim-side joins are broadcast (no shuffle of the big side)") {
+    assert(plan("q_tpch_join").contains("BroadcastHashJoin"))
+    assert(plan("q_extract").contains("BroadcastHashJoin"))
+    assert(plan("q_knn") != null) // driver-loop; probe side broadcast per round
+  }
+
+  test("tile rollup aggregates partially before the exchange") {
+    val p = plan("q_tile_density")
+    val firstAgg = p.indexOf("HashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    // plan prints top-down: the map-side partial agg appears BELOW the
+    // exchange, i.e. some HashAggregate occurs after (deeper than) it
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange,
+      "no map-side partial aggregate below the shuffle")
+  }
+
+  test("scans prune to the referenced columns (text never read)") {
+    val p = plan("q_tile_density")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("text:string"), s"text column not pruned:\n$p")
+  }
+}
