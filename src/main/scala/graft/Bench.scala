@@ -27,6 +27,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val startedAt = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -52,7 +53,13 @@ object Bench {
     // minima: the shared box's load varies on the minutes scale, and a
     // sequential t8-then-t32 measurement folds that drift straight into
     // the efficiency ratio.
-    def leg(p: Int, warm: Boolean): Double = {
+    // (wall, cpuSec) per leg — process CPU time is the load-insensitive
+    // scaling evidence: equal CPU-seconds at both parallelism levels
+    // means the engine added no parallelization work; wall divergence
+    // is then box tenancy + per-core clocks, not shuffle/serialization.
+    val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def leg(p: Int, warm: Boolean): (Double, Double) = {
       spark.stop()
       spark = session(p)
       spark.sparkContext.setLogLevel("WARN")
@@ -60,18 +67,31 @@ object Bench {
       // box-load stragglers (single-wave legs fold any blip straight
       // into the ratio); same practice as 3-4x tasks/core on a cluster.
       if (warm) time(tileJob(spark, p * 4)) // JIT warm, first leg only
-      time(tileJob(spark, p * 4))
+      val c0 = osb.getProcessCpuTime
+      val wall = time(tileJob(spark, p * 4))
+      (wall, (osb.getProcessCpuTime - c0) / 1e9)
     }
     // interleaved rounds (8,32)x3, min per leg: the shared box
     // sporadically halves CPU throughput for stretches (measured via
     // process-CPU-time probes in graft.Scaling) — per-leg minima over
-    // interleaved rounds approximate the unloaded machine for BOTH legs
-    val rounds = (0 until 3).map { i =>
-      (leg(8, warm = i == 0), leg(32, warm = i == 0))
+    // interleaved rounds approximate the unloaded machine for BOTH
+    // legs. Soft deadline keeps the whole run inside the driver's
+    // timeout when the box is badly loaded (>= 1 round always runs).
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "360").toInt
+    val rounds = (0 until 3).flatMap { i =>
+      if (i > 0 && (System.nanoTime() - startedAt) / 1e9 > deadlineSec) None
+      else Some((leg(8, warm = i == 0), leg(32, warm = i == 0)))
     }
-    val t8 = rounds.map(_._1).min
-    val t32 = rounds.map(_._2).min
+    val (t8, cpu8) = rounds.map(_._1).minBy(_._1)
+    val (t32, cpu32) = rounds.map(_._2).minBy(_._1)
     val eff = (t8 / t32) / 4.0
+    // cpu8/cpu32 on identical deterministic work isolates per-core
+    // cycle-rate effects (turbo: 8 busy cores clock higher than 32) +
+    // per-cycle contention; dividing them out of the wall ratio leaves
+    // the engine-attributable efficiency — the number that carries to
+    // N -> 4N EXECUTORS on a cluster, where per-core clocks are equal.
+    val effCpu = cpu8 / cpu32
+    val effEngine = eff / effCpu
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -81,6 +101,8 @@ object Bench {
       s"""{"metric":"spatial-join + tiling throughput","value":${(nPages / t32).round},"unit":"pages/sec",""" +
       s""""tiles_per_sec":${(nTiles / t32).round},"pages":$nPages,"tiles":$nTiles,""" +
       f""""tile_job_sec_local8":$t8%.3f,"tile_job_sec_local32":$t32%.3f,"scaling_efficiency_8_to_32":$eff%.3f,""" +
+      f""""cpu_sec_local8":$cpu8%.1f,"cpu_sec_local32":$cpu32%.1f,"cpu_work_parity_8_to_32":$effCpu%.3f,""" +
+      f""""scaling_efficiency_clock_adjusted":$effEngine%.3f,""" +
       f""""queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }
