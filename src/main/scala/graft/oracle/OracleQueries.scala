@@ -347,7 +347,7 @@ object OracleQueries {
       val mins = (0 until 8).map(i =>
         s"min(${h32FromMd(s"md${i / 4}", 8 * (i % 4))}) AS m$i").mkString(", ")
       val bandRows = (0 until 4).map { b =>
-        s"SELECT id, $b AS band, CAST(m${2 * b} AS VARCHAR) || '_' || CAST(m${2 * b + 1} AS VARCHAR) AS key FROM minh"
+        s"SELECT id, $b AS band, m${2 * b} AS k0, m${2 * b + 1} AS k1 FROM minh"
       }.mkString("\n  UNION ALL ")
       s"""WITH $corpusCte,
          |$shChain,
@@ -355,7 +355,8 @@ object OracleQueries {
          |minh AS (SELECT id, $mins FROM mh GROUP BY id),
          |bands AS ($bandRows),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-         |  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |  JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
+         |  AND a.id < b.id),
          |${jaccardTail(0.4)}""".stripMargin
     },
 

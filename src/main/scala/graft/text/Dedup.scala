@@ -57,25 +57,27 @@ object Dedup {
       (1 until numHashes).map(i => min(col(s"h$i")).as(s"m$i")): _*)
   }
 
-  /** LSH band keys: rowsPerBand signature values concatenated. Emits
-    * (id, band, key). */
+  /** LSH band keys: the rowsPerBand signature values as NATIVE long
+    * columns (k0, k1, ...) — the bucket self-join then runs on plain
+    * longs, no per-row key-string building. Emits (id, band, k*). */
   def bands(sig: DataFrame, numHashes: Int = 8,
             rowsPerBand: Int = 2): DataFrame = {
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("_", (0 until rowsPerBand)
-          .map(r => col(s"m${b * rowsPerBand + r}")): _*).as("key"))
+      struct((lit(b).as("band") +: (0 until rowsPerBand)
+        .map(r => col(s"m${b * rowsPerBand + r}").as(s"k$r"))): _*)
     }
+    val kCols = (0 until rowsPerBand).map(r => col(s"bk.k$r").as(s"k$r"))
     sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select((col("id") +: col("bk.band").as("band") +: kCols): _*)
   }
 
   /** Candidate pairs: ids sharing any band bucket, a < b, distinct. */
   def candidates(bandDf: DataFrame): DataFrame = {
+    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k"))
     val a = bandDf.alias("a"); val b = bandDf.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
+    val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, keyEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
