@@ -77,6 +77,13 @@ package object functions {
   def norm_diff(a: Column, b: Column): Column =
     toCol(NormDiff(toExpr(a.cast("float")), toExpr(b.cast("float"))))
 
+  /** Per-group bounded top-k aggregate (two-phase: partition-local k,
+    * then final k over the <= parts*k survivors). best = lowest score
+    * when ascending, else highest; ties -> smaller id. */
+  def topk_by(score: Column, id: Column, k: Int, ascending: Boolean): Column =
+    toCol(TopKByScore(toExpr(score), toExpr(id), k, ascending)
+      .toAggregateExpression())
+
   /** Register the scalar functions for SQL use. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge.register

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -16,68 +15,85 @@ import graft.functions._
  * least r·cellHeight degrees away (grid geometry; lon cells are wider
  * than lat cells, so cellHeight is the conservative bound). Unfinished
  * queries double r; past `maxRadius` the (tiny) residue falls back to a
- * broadcast brute-force pass — still exact, still deterministic.
+ * brute-force pass — still exact, still deterministic.
  *
  * Distance = squared planar degrees, tiebreak = (dist2, id): a total
  * order, so results are identical at any parallelism.
  *
- * Scale shape: the *query* side is broadcast (points are the small
- * dimension, J1-style); the pages side is only ever probed via the cell
+ * Scale shape: the pages side is only ever probed via the cell
  * equi-join — no shuffle of the big side beyond the join itself, and
- * each round's join touches only unfinished queries.
+ * each round's join touches only unfinished queries. Top-k is the
+ * two-phase bounded-heap aggregate (graft.ops.TopK) — partition-local k
+ * before any shuffle, never a global per-query sort. Round bookkeeping
+ * (which queries are done) has two formulations chosen by query count:
+ * driver-side collect + IN-list below `maxDriverQids` (one Spark job
+ * per round), pure-relational semi/anti joins above it (an IN-list of
+ * 10^5 qids blows plan size and analysis time; the join formulation is
+ * O(1) in plan size at any query count).
  */
 object Knn {
+
+  /** Above this many query points, loop bookkeeping switches from
+    * driver-collected IN-lists to semi/anti joins. */
+  val MaxDriverQids = 10000
 
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
     * Returns (qid, rank, id, dist2) with rank 1..k. */
   def knnJoin(points: DataFrame, pages: DataFrame, res: Int, k: Int,
-              initRadius: Int = 4, maxRadius: Int = 16): DataFrame = {
+              initRadius: Int = 4, maxRadius: Int = 16,
+              maxDriverQids: Int = MaxDriverQids): DataFrame = {
     val cellH = 180.0 / (1L << res).toDouble
     val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
       (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
-    val byDist = Window.partitionBy("qid").orderBy(col("dist2"), col("id"))
 
     def topkOf(cands: DataFrame): DataFrame =
-      cands.withColumn("dist2", dist2)
-        .withColumn("rank", row_number().over(byDist))
-        .filter(col("rank") <= k)
-        .select("qid", "rank", "id", "dist2")
+      TopK.perGroup(cands.withColumn("dist2", dist2),
+        Seq("qid"), "dist2", "id", k, ascending = true)
 
-    // The query side is SMALL by contract (it is broadcast into the
-    // cell probe), so loop bookkeeping — which queries are done — is
-    // collected to the driver instead of spending an anti-join +
-    // isEmpty job per round: each round costs exactly one Spark job
-    // (the done-set collect over the cached round top-k).
     var pending = points
       .withColumn("qcell", cell_of(col("qlon"), col("qlat"), res))
       .cache()
     var nPending = pending.count()
+    val relational = nPending > maxDriverQids
     var results: DataFrame = null
     var r = initRadius
     while (r <= maxRadius && nPending > 0) {
       val probe = pending
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
-      val cands = pages.join(broadcast(probe), Seq("cell"))
+      // small query sets broadcast into the probe; at large counts let
+      // the planner (AQE) pick the join strategy for the cell equi-join
+      val cands =
+        if (relational) pages.join(probe, Seq("cell"))
+        else pages.join(broadcast(probe), Seq("cell"))
       val topk = topkOf(cands).cache() // <= |pending| * k rows
       // exact iff k found AND kth distance STRICTLY within the disk
       // guarantee (any point outside disk(r) is >= r*cellH away; strict
       // < also rules out an equal-distance outside point winning the
       // (dist2, id) tiebreak with a smaller id)
-      val doneIds = topk.groupBy("qid")
+      val doneQ = topk.groupBy("qid")
         .agg(count(lit(1)).as("cnt"), max("dist2").as("kth"))
         .filter(col("cnt") === k && col("kth") < lit((r * cellH) * (r * cellH)))
-        .select("qid").collect().map(_.get(0)).toSeq // keep qid's own type
-      if (doneIds.nonEmpty) {
-        val finished = topk.filter(col("qid").isInCollection(doneIds))
+        .select("qid")
+      if (relational) {
+        val finished = topk.join(doneQ, Seq("qid"), "left_semi")
         results = if (results == null) finished else results.unionByName(finished)
-        pending = pending.filter(!col("qid").isInCollection(doneIds))
-        nPending -= doneIds.length
+        pending = pending.join(doneQ, Seq("qid"), "left_anti").cache()
+        nPending = pending.count()
+      } else {
+        val doneIds = doneQ.collect().map(_.get(0)).toSeq // keep qid's own type
+        if (doneIds.nonEmpty) {
+          val finished = topk.filter(col("qid").isInCollection(doneIds))
+          results = if (results == null) finished else results.unionByName(finished)
+          pending = pending.filter(!col("qid").isInCollection(doneIds))
+          nPending -= doneIds.length
+        }
       }
       r *= 2
     }
     if (nPending > 0) {
       // residual brute force: tiny query set x full pages (queries in
-      // regions emptier than disk(maxRadius) — still exact)
+      // regions emptier than disk(maxRadius) — still exact, and the
+      // two-phase top-k keeps the reduction partition-local even here)
       val cands = pages.crossJoin(broadcast(pending.drop("qcell")))
       results = if (results == null) topkOf(cands)
         else results.unionByName(topkOf(cands))

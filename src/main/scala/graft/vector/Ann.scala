@@ -1,7 +1,6 @@
 package graft.vector
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,8 +15,9 @@ import org.apache.spark.sql.functions._
  * hyperplanes are integer-valued from a fixed LCG formula — signatures
  * are exact too.
  *
- * Scale shape: brute-force = broadcast(queries) x corpus with partial
- * top-k per partition (Window row_number after a cheap codegen'd dot);
+ * Scale shape: brute-force = broadcast(queries) x corpus with TWO-PHASE
+ * top-k (bounded-heap aggregate: partition-local k map-side, final k
+ * over <= parts*k survivors — no global per-query sort anywhere);
  * LSH = equi-join on the signature (no cross product).
  */
 object Ann {
@@ -46,17 +46,20 @@ object Ann {
       sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
   /** Brute-force cosine top-k: queries (qid, qv) x corpus (id, v).
-    * Returns (qid, rank, id, cos) with rank 1..k; ties -> lower id. */
+    * Returns (qid, rank, id, cos) with rank 1..k; ties -> lower id.
+    * Two-phase: the heap aggregate reduces each corpus partition to k
+    * candidates per query before any shuffle (the prior global
+    * Window.partitionBy(qid) funneled the whole scored corpus of a
+    * query into one reducer — a 100x scale-killer). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.withColumn("qn2", dotQ(col("qv"), col("qv")))
     val c = corpus.withColumn("n2", dotQ(col("v"), col("v")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos",
-        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "id", "cos")
+      .select(col("qid"), col("id"),
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
+          .as("cos"))
+    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
+      ascending = false)
   }
 
   /** Integer hyperplane weights: LCG of (plane, dim) — single source of
@@ -102,11 +105,10 @@ object Ann {
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim))
       .withColumn("n2", dotQ(col("v"), col("v")))
     val scored = c.join(broadcast(q), Seq("sig"))
-      .withColumn("cos",
-        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2")))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "id", "cos")
+      .select(col("qid"), col("id"),
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
+          .as("cos"))
+    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
+      ascending = false)
   }
 }

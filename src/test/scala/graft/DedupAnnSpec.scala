@@ -126,6 +126,40 @@ class DedupAnnSpec extends AnyFunSuite {
     got.foreach { case (k, v) => assert(v == brute(k)) }
   }
 
+  test("two-phase topk_by == window row_number on ties/skew/small groups") {
+    // adversarial set: heavy tie groups, one giant group, groups < k
+    val rows = (0L until 4000L).map { i =>
+      val g = if (i < 3000) 0L else 1L + i % 7 // group 0 is hot
+      (g, i, (i % 11).toDouble) // many score ties -> id tiebreak matters
+    } ++ Seq((99L, 100000L, 1.0)) // singleton group (n < k)
+    val df = rows.toDF("qid", "id", "score")
+    for (asc <- Seq(true, false)) {
+      val got = graft.ops.TopK.perGroup(df, Seq("qid"), "score", "id", 5, asc)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val sorted = rs.sortBy { case (_, id, s) => (if (asc) s else -s, id) }
+        sorted.take(5).zipWithIndex.map { case ((_, id, s), i) => (g, i + 1, id, s) }
+      }.sortBy(t => (t._1, t._2))
+      assert(got.toSeq == expect, s"ascending=$asc")
+    }
+  }
+
+  test("knn relational bookkeeping path == driver IN-list path") {
+    val pts = (0L until 6L).map(i => (i, -10.0 + i * 4.0, 5.0 + i))
+      .toDF("qid", "qlon", "qlat")
+    val pages = (0L until 400L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 40 - 10)
+    }.toDF("id", "lon", "lat")
+      .withColumn("cell", graft.functions.cell_of($"lon", $"lat", 8))
+    def run(maxDriver: Int) = graft.ops.Knn.knnJoin(pts, pages, 8, 3,
+        maxDriverQids = maxDriver)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(0) == run(1000)) // 0 forces the semi/anti-join formulation
+  }
+
   test("lsh top-k returns each query itself at rank 1 (same bucket)") {
     val q = vecs.select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))

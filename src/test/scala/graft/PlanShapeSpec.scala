@@ -32,6 +32,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "no map-side partial aggregate below the shuffle")
   }
 
+  test("vector top-k is two-phase: no unbounded per-query window sort") {
+    // the scale contract (VERDICT r1 #1): no Window node may sit above a
+    // full corpus scan — top-k must be the bounded-heap aggregate with a
+    // partial stage below the exchange
+    for (q <- Seq("q_embed_knn", "q_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: global window above corpus scan:\n$p")
+      val firstAgg = p.indexOf("ObjectHashAggregate")
+      assert(firstAgg >= 0, s"$q: top-k heap aggregate missing:\n$p")
+      val exchange = p.indexOf("Exchange", firstAgg)
+      assert(exchange > firstAgg && p.indexOf("ObjectHashAggregate", exchange) > exchange,
+        s"$q: no partition-local (partial) top-k below the shuffle:\n$p")
+    }
+  }
+
   test("scans prune to the referenced columns (text never read)") {
     val p = plan("q_tile_density")
     assert(p.contains("ReadSchema"))
