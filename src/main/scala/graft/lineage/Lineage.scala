@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
  *
  * Storage is Iceberg-style partitioned parquet (no Iceberg runtime jar
  * in this image — SURVEY.md §7.4); `snapshotId` stands in for the
- * Iceberg snapshot id and is the content-defining version of the input.
+ * Iceberg snapshot id. [[graft.sources.TileStore.commit]] is the
+ * versioned-write surface that mints snapshot ids, appends these
+ * manifest rows alongside the data files, and publishes the snapshot
+ * marker as the atomic commit point (read-at-snapshot via
+ * TileStore.readAt/scanCoverAt).
  */
 object Lineage {
 
@@ -26,10 +30,12 @@ object Lineage {
   def manifestPath(base: String): String = s"$base/_graft_manifest"
 
   def readManifest(spark: SparkSession, base: String): DataFrame = {
-    val path = manifestPath(base)
-    val fs = new java.io.File(path.stripPrefix("file:"))
-    if (fs.exists())
-      spark.read.schema(ManifestSchema).parquet(path)
+    // Hadoop FileSystem, not java.io.File — the store may be HDFS/S3/
+    // anything with a registered scheme, not just the local FS
+    val path = new org.apache.hadoop.fs.Path(manifestPath(base))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.schema(ManifestSchema).parquet(manifestPath(base))
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ManifestSchema))
@@ -52,13 +58,19 @@ object Lineage {
         col("snapshot_id") === snapshotId).select("cell"),
       Seq("cell"), "left_anti")
 
-  /** Convenience: run `work` per pending plan, recording lineage.
-    * `planned` must carry a `cell` column (one row per work unit). */
+  /** Run `work` over the pending plan and RECORD completion.
+    * `planned` must carry a `cell` column (one row per work unit);
+    * `work` must have LANDED its outputs by the time it returns (it
+    * performs its own writes) and return the per-cell completion
+    * relation `(cell, rows_in, rows_out)` — which is then appended to
+    * the manifest, so the next invocation's pending set excludes it.
+    * Returns the completion relation it recorded. */
   def resumableRun(spark: SparkSession, base: String, jobId: String,
                    snapshotId: String, planned: DataFrame)
                   (work: DataFrame => DataFrame): DataFrame = {
     val todo = pending(planned, readManifest(spark, base), jobId, snapshotId)
-    val out = work(todo)
-    out
+    val completed = work(todo)
+    recordCompleted(spark, base, jobId, snapshotId, completed)
+    completed
   }
 }

@@ -44,8 +44,12 @@ object Extract {
     xy.groupBy("label_id").agg(count(lit(1)).as("n"))
 
   /** U2 `add_class` (extract.py:70-97): append synthetic constant rows
-    * with a fresh label id = max+1 and the max existing class count. */
-  def addClass(xy: DataFrame, bands: Seq[String], value: Double,
+    * with a fresh label id = max+1 and the max existing class count
+    * (A9). `value` must match the band columns' type (e.g. `lit(9999L)`
+    * for Long bands — a mismatched literal would widen the whole column
+    * through the union). The stats collect is one row over the label
+    * histogram — labels are small by contract. */
+  def addClass(xy: DataFrame, bands: Seq[String], value: org.apache.spark.sql.Column,
                classname: String): DataFrame = {
     val spark = xy.sparkSession
     val stats = xy.groupBy("label_id").agg(count(lit(1)).as("n"))
@@ -53,7 +57,7 @@ object Extract {
     val newId = stats.getAs[Long]("max_id") + 1
     val n = stats.getAs[Long]("max_n")
     val synth = spark.range(n)
-      .select(bands.map(b => lit(value).as(b)) ++
+      .select(bands.map(b => value.as(b)) ++
         Seq(lit(classname).as("classname"), lit(newId).as("label_id")): _*)
     xy.unionByName(synth, allowMissingColumns = true)
   }
@@ -61,4 +65,18 @@ object Extract {
   /** U3 `remove_class` (extract.py:99-124). */
   def removeClass(xy: DataFrame, labelId: Long): DataFrame =
     xy.filter(col("label_id") =!= labelId)
+
+  /** S11 save of the extracted training set (extract.py:126-139
+    * `DataExtractor.save`: X, y + labels_map): xy rows as parquet, the
+    * labels_map as a companion relation. */
+  def saveXy(xy: DataFrame, path: String): Unit = {
+    xy.write.mode("overwrite").parquet(s"$path/xy")
+    xy.select("label_id", "classname").distinct()
+      .write.mode("overwrite").parquet(s"$path/labels_map")
+  }
+
+  /** S11 load (extract.py:141-147): (xy, labels_map). */
+  def loadXy(spark: org.apache.spark.sql.SparkSession,
+             path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/xy"), spark.read.parquet(s"$path/labels_map"))
 }

@@ -48,7 +48,13 @@ object Resample {
   /** R3 pyramid: roll level r up to [minRes..r], each level built FROM
     * THE PREVIOUS one (child results reused, SURVEY.md §2.4) — returns
     * the union tagged by a `level` column. Aggregates must be
-    * re-aggregable (sum/count/min/max). */
+    * re-aggregable (sum/count/min/max).
+    *
+    * Cache lifetime: every level stays persisted until the caller's
+    * final action (the union references them all); release with
+    * clearCache/unpersist afterwards. At warehouse scale prefer
+    * [[graft.sources.TileStore.writePyramid]], which streams each level
+    * to storage and unpersists as it climbs. */
   def pyramid(base: DataFrame, res: Int, minRes: Int,
               valueCol: String, how: String = "sum"): DataFrame = {
     require(how == "sum" || how == "count" || how == "min" || how == "max")

@@ -1,9 +1,11 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cell.CellIndex
+import graft.lineage.Lineage
 
 /**
  * Iceberg-style cell-partitioned store (SURVEY.md §4.4; north_rule:
@@ -45,6 +47,15 @@ object TileStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S7 multi-band ordered sink (the Rstack `interleave='band'` +
+    * reorder_items write, sent2_charcoal.py:87-92): band columns land
+    * in the CALLER's order after `cell` — parquet schema order is the
+    * band order, so a reader's positional band access matches the
+    * reference's band indices. */
+  def writeBands(stacked: DataFrame, path: String, bands: Seq[String],
+                 prefixShift: Int = DefaultPrefixShift): Unit =
+    write(stacked.select((col("cell") +: bands.map(col)): _*), path, prefixShift)
+
   /** Above this many merged ranges, fall back to prefix pruning + one
     * binary-search probe (a 1000-term BETWEEN disjunction costs more in
     * filter evaluation than it saves in row-group pruning). */
@@ -64,5 +75,114 @@ object TileStore {
           .reduce(_ || _)
       else graft.functions.cell_in_ranges(col("cell"), flat)
     read(spark, path).filter(prefixPred).filter(cellPred)
+  }
+
+  // ---- snapshot surface (Iceberg-style versioned commits, §7.5) ----------
+  //
+  // Layout:   <store>/data/snap=<id>/...        cell-partitioned parquet
+  //           <store>/_graft_manifest/          lineage rows (Lineage)
+  //           <store>/_snapshots/<id>           commit markers
+  //
+  // The MARKER is the commit point (the analog of Iceberg's atomic
+  // metadata swap): data files and manifest rows land first, the marker
+  // is created via write-to-temp + atomic rename LAST. Readers resolve
+  // only marked snapshots, so a crash anywhere before the rename leaves
+  // the store logically at the previous snapshot — re-running the job
+  // overwrites the orphaned snap directory (idempotent).
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def snapshotDir(store: String): String = s"$store/_snapshots"
+  def dataDir(store: String, snapshotId: String): String =
+    s"$store/data/snap=$snapshotId"
+
+  /** Committed snapshot ids, ascending by sequence number. */
+  def snapshots(spark: SparkSession, store: String): Seq[String] = {
+    val dir = new Path(snapshotDir(store))
+    val f = fs(spark, store)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("s")).sortBy(_.drop(1).toLong).toSeq
+  }
+
+  /** Snapshot-carrying atomic commit: writes `df` (must carry a LONG
+    * `cell` column) cell-range-partitioned under a fresh snapshot id,
+    * appends per-coarse-tile lineage rows (`rows_out` counts — the
+    * north_rule "per-partition checkpoints carrying lineage"), then
+    * atomically publishes the marker. Returns the new snapshot id. */
+  def commit(df: DataFrame, store: String, jobId: String,
+             coarseSteps: Int = 6,
+             prefixShift: Int = DefaultPrefixShift): String = {
+    val spark = df.sparkSession
+    val nextSeq = snapshots(spark, store)
+      .lastOption.map(_.drop(1).toLong + 1).getOrElse(0L)
+    val snapshotId = s"s$nextSeq"
+    write(df, dataDir(store, snapshotId), prefixShift)
+    val completed = read(spark, dataDir(store, snapshotId))
+      .groupBy(graft.functions.cell_parent(col("cell"), coarseSteps).as("cell"))
+      .agg(count(lit(1)).as("rows_out"))
+      .withColumn("rows_in", col("rows_out"))
+    Lineage.recordCompleted(spark, store, jobId, snapshotId, completed)
+    // commit point: temp file + atomic rename
+    val f = fs(spark, store)
+    f.mkdirs(new Path(snapshotDir(store)))
+    val tmp = new Path(snapshotDir(store), s".$snapshotId.tmp")
+    val out = f.create(tmp, true)
+    out.write(s"""{"snapshot_id":"$snapshotId","job_id":"$jobId"}"""
+      .getBytes("UTF-8"))
+    out.close()
+    if (!f.rename(tmp, new Path(snapshotDir(store), snapshotId)))
+      throw new java.io.IOException(s"snapshot publish failed: $snapshotId")
+    snapshotId
+  }
+
+  /** Read the store AT a committed snapshot (time travel). */
+  def readAt(spark: SparkSession, store: String, snapshotId: String): DataFrame = {
+    require(snapshots(spark, store).contains(snapshotId),
+      s"snapshot $snapshotId is not committed in $store")
+    read(spark, dataDir(store, snapshotId))
+  }
+
+  /** Read the latest committed snapshot. */
+  def readLatest(spark: SparkSession, store: String): DataFrame = {
+    val ids = snapshots(spark, store)
+    require(ids.nonEmpty, s"no committed snapshots in $store")
+    read(spark, dataDir(store, ids.last))
+  }
+
+  /** Cover-pruned scan at a committed snapshot. */
+  def scanCoverAt(spark: SparkSession, store: String, snapshotId: String,
+                  cover: Array[Long], res: Int,
+                  prefixShift: Int = DefaultPrefixShift): DataFrame = {
+    require(snapshots(spark, store).contains(snapshotId),
+      s"snapshot $snapshotId is not committed in $store")
+    scanCover(spark, dataDir(store, snapshotId), cover, res, prefixShift)
+  }
+
+  /** R3 pyramid streamed to storage (the at-scale form of
+    * Resample.pyramid): each level is written under level=<r> as soon
+    * as it is built from the previous one, and the parent's cache is
+    * released immediately — at most TWO levels are ever persisted,
+    * instead of the whole rollup chain. */
+  def writePyramid(base: DataFrame, res: Int, minRes: Int, valueCol: String,
+                   how: String, store: String,
+                   prefixShift: Int = DefaultPrefixShift): Unit = {
+    require(how == "sum" || how == "count" || how == "min" || how == "max")
+    val reAgg = if (how == "count") "sum" else how
+    var level = base.persist()
+    write(level, s"$store/level=$res", prefixShift)
+    var r = res
+    while (r > minRes) {
+      val next = graft.ops.Resample
+        .downsample(level.drop("cell_prefix"), valueCol, 1,
+          if (r == res) how else reAgg)
+        .persist()
+      write(next, s"$store/level=${r - 1}", prefixShift)
+      level.unpersist()
+      level = next
+      r -= 1
+    }
+    level.unpersist()
   }
 }

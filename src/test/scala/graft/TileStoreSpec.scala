@@ -59,6 +59,109 @@ class TileStoreSpec extends AnyFunSuite {
       "partition pruning on cell_prefix missing")
   }
 
+  test("snapshot commit: ids advance, time travel reads, lineage lands") {
+    val store = tmpDir("ts-snap")
+    val v1 = cells
+    val v2 = cells.withColumn("v", col("v") + 1000)
+    val s1 = TileStore.commit(v1, store, "jobA")
+    val s2 = TileStore.commit(v2, store, "jobA")
+    assert(s1 == "s0" && s2 == "s1")
+    assert(TileStore.snapshots(spark, store) == Seq("s0", "s1"))
+    // time travel: each snapshot reads ITS data
+    assert(TileStore.readAt(spark, store, "s0")
+      .agg(sum("v")).collect()(0).getLong(0) ==
+      v1.agg(sum("v")).collect()(0).getLong(0))
+    assert(TileStore.readLatest(spark, store)
+      .agg(sum("v")).collect()(0).getLong(0) ==
+      v2.agg(sum("v")).collect()(0).getLong(0))
+    // per-coarse-tile lineage rows landed with each snapshot
+    val m = graft.lineage.Lineage.readManifest(spark, store)
+    assert(m.filter(col("snapshot_id") === "s0").count() > 0)
+    val sumOut = m.filter(col("snapshot_id") === "s1")
+      .agg(sum("rows_out")).collect()(0).getLong(0)
+    assert(sumOut == 5000L)
+    // cover scan at a snapshot still prunes
+    val cover = CellIndex.coverRect(-10.0, 30.0, 30.0, 60.0, 6)
+    val n = TileStore.scanCoverAt(spark, store, "s0", cover, 12).count()
+    assert(n > 0 && n < 5000)
+  }
+
+  test("snapshot atomicity: unmarked data is invisible; readAt rejects it") {
+    val store = tmpDir("ts-crash")
+    TileStore.commit(cells, store, "jobA")
+    // simulate a crash AFTER the data write but BEFORE the marker:
+    // write a snap directory directly, no marker
+    TileStore.write(cells, TileStore.dataDir(store, "s1"))
+    assert(TileStore.snapshots(spark, store) == Seq("s0"))
+    assert(TileStore.readLatest(spark, store).count() == 5000) // still s0
+    intercept[IllegalArgumentException] {
+      TileStore.readAt(spark, store, "s1")
+    }
+    // the next commit takes over the orphaned id and publishes it
+    val s = TileStore.commit(cells, store, "jobB")
+    assert(s == "s1" && TileStore.snapshots(spark, store) == Seq("s0", "s1"))
+  }
+
+  test("resumableRun records completion: second run has nothing to do") {
+    val store = tmpDir("ts-resume")
+    val planned = spark.range(8).select($"id".as("cell"))
+    var ran = 0
+    def work(todo: org.apache.spark.sql.DataFrame) = {
+      ran += 1
+      todo.withColumn("rows_in", lit(10L)).withColumn("rows_out", lit(9L))
+    }
+    val done1 = graft.lineage.Lineage
+      .resumableRun(spark, store, "j", "s0", planned)(work)
+    assert(done1.count() == 8)
+    val done2 = graft.lineage.Lineage
+      .resumableRun(spark, store, "j", "s0", planned)(work)
+    assert(done2.count() == 0 && ran == 2)
+    // a new snapshot re-plans everything
+    assert(graft.lineage.Lineage.pending(planned,
+      graft.lineage.Lineage.readManifest(spark, store), "j", "s1").count() == 8)
+  }
+
+  test("writePyramid == Resample.pyramid levels, nothing left cached") {
+    val store = tmpDir("ts-pyr")
+    val base = cells.groupBy("cell").agg(count(lit(1)).as("v"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    TileStore.writePyramid(base, 12, 9, "v", "sum", store)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "writePyramid leaked cached levels")
+    // in-memory pyramid as the semantics reference: (level, cell, v)
+    val mem = graft.ops.Resample.pyramid(base, 12, 9, "v", "sum")
+      .collect().map(r => (r.getInt(2), r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    for (r <- 9 to 12) {
+      val got = TileStore.read(spark, s"$store/level=$r")
+        .select("cell", "v").orderBy("cell").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      val want = mem.filter(_._1 == r).map(t => (t._2, t._3)).sortBy(_._1)
+      assert(got == want, s"level $r")
+    }
+  }
+
+  test("writeBands keeps band column order; saveXy/loadXy roundtrip") {
+    // S7: schema order == caller's band order (reorder_items analog)
+    val path = tmpDir("ts-bands")
+    val stacked = cells.withColumn("red", col("v") * 2)
+      .withColumn("nir", col("v") * 3)
+    TileStore.writeBands(stacked, path, Seq("nir", "v", "red"))
+    val back = TileStore.read(spark, path)
+    assert(back.columns.take(4).toSeq == Seq("cell", "nir", "v", "red"))
+    assert(back.count() == 5000)
+    // S11: xy + labels_map roundtrip
+    val xyPath = tmpDir("ts-xy")
+    val xy = Seq((1L, 2L, "cat", 0L), (3L, 4L, "dog", 1L), (5L, 6L, "dog", 1L))
+      .toDF("b1", "b2", "classname", "label_id")
+    graft.ops.Extract.saveXy(xy, xyPath)
+    val (xyBack, labels) = graft.ops.Extract.loadXy(spark, xyPath)
+    assert(xyBack.orderBy("b1").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(labels.orderBy("label_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "cat"), (1L, "dog")))
+  }
+
   test("saltedEquiJoin == plain equi-join (hot-key safe)") {
     // skewed big side: 80% of rows share one cell
     val hot = CellIndex.encode(10.45, 51.17, 8)
