@@ -49,17 +49,25 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
 
   /** Broadcast equi-join + exact-cents agg (J-class anchor; money kept
-    * in integer cents so the sum is order-independent). */
+    * in integer cents so the sum is order-independent).
+    * Two-phase distinct: lineitem pre-aggregates on its own join key
+    * (one shuffle of ~N/4 two-column rows), so the countDistinct
+    * expand — which doubled every lineitem row through two aggregate
+    * stages and was 20% of the round-1 sweep — never runs; n_orders is
+    * a plain count of the per-order relation. */
   def qTpchJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Pages.table(spark, dir, "lineitem")
     val o = Pages.table(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    val perOrder = li.groupBy("l_orderkey").agg(
+      sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).as("cents"),
+      count(lit(1)).as("n"))
+    perOrder.join(broadcast(o), perOrder("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
-        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-          .cast("long")).as("revenue_cents"),
-        count(lit(1)).as("n_items"),
-        countDistinct("l_orderkey").as("n_orders"))
+        sum("cents").as("revenue_cents"),
+        sum("n").as("n_items"),
+        count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
 
@@ -165,6 +173,65 @@ object SparkEntry {
         Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"), "src0")
       .orderBy("src_b")
 
+  /** J2 again through the cover-cell equi-join fallback (the
+    * no-broadcast path for huge source counts) — result-identical to
+    * qOverlaps, verified against the same oracle. */
+  def qOverlapsCells(spark: SparkSession, dir: String): DataFrame =
+    Overlaps.allPairsByCells(
+        Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"), TileRes)
+      .orderBy("src_a", "src_b")
+
+  /** Deterministic Planet-style asset listing derived from documents
+    * (J7 fixture): every doc gets a primary asset (panchromatic every
+    * 5th), 3 of 4 docs get a pattern-conforming udm2 companion, every
+    * 7th doc gets a 'udm2'-containing DECOY that matches no pattern. */
+  private def planetListing(spark: SparkSession, dir: String): DataFrame = {
+    val d = Pages.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("base", concat(
+        lit("/pl/"), col("source"), lit("/"),
+        (lit(20200700) + col("doc_id") % 30).cast("string"), lit("_"),
+        (lit(103000) + col("doc_id") % 60).cast("string"), lit("_ssc"),
+        (col("doc_id") % 9).cast("string"), lit("_u"),
+        col("doc_id").cast("string")))
+    val primary = d.select(concat(col("base"),
+      when(col("doc_id") % 5 === 0, "_ortho_panchromatic.tif")
+        .otherwise("_analytic.tif")).as("path"))
+    val udm = d.filter(col("doc_id") % 4 =!= 0).select(concat(col("base"),
+      when(col("doc_id") % 5 === 0, "_panchromatic_udm2.tif")
+        .when(col("doc_id") % 2 === 0, "_ortho_udm2.tif")
+        .otherwise("_3_udm2.tif")).as("path"))
+    val decoy = d.filter(col("doc_id") % 7 === 0)
+      .select(concat(col("base"), lit("_cloud_udm2.tif")).as("path"))
+    primary.union(udm).union(decoy)
+  }
+
+  /** J7 asset-companion filename join (filter_imgs.py:51-79): primary
+    * assets equi-joined to their udm2 companions on (dir, info prefix)
+    * with the asset-type pattern predicate. */
+  def qAssetUdm2(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Assets.withUdm2(planetListing(spark, dir))
+      .orderBy("asset_path", "udm2_path")
+
+  /** J8 filename-pattern pairing (overlap.py:310-331): ref/target
+    * overlap polys ranked by digit key and zipped, stacks attached by
+    * tile token. Listings are derived from the nation table. */
+  def qOverlapPairing(spark: SparkSession, dir: String): DataFrame = {
+    val n = Pages.table(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("i"))
+      .withColumn("tile", concat(lit("T20M"),
+        expr("char(66 + i % 8)"), expr("char(65 + (i * 3) % 26)")))
+    val refs = n.select(concat(lit("overlaps/T20MPA_poly_"),
+      (col("i") * 2).cast("string"), lit(".tif")).as("path"))
+    val targets = n.select(concat(lit("overlaps/poly_"),
+      (col("i") * 3).cast("string"), lit("_"), col("tile"), lit(".tif")).as("path"))
+    val stacks = n.select(concat(lit("stacks/"), col("tile"),
+        lit("_20200729.tif")).as("path"))
+      .union(n.limit(1).select(lit("stacks/T20MPA_20200729.tif").as("path")))
+    graft.sources.Assets.pairOverlaps(refs.union(targets), stacks, "T20MPA")
+      .orderBy("rk")
+  }
+
   /** J5: semi-join — keep (source, lang) extents containing >= 1
     * Japanese customer point (LEFT SEMI replaces the break-on-first). */
   def qSemiPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -254,16 +321,43 @@ object SparkEntry {
 
   /** A5/A6: per-lang linear fit y~x between two source groups' per-cell
     * counts over their overlap (exact integer-sum closed forms). */
-  def qCalibrate(spark: SparkSession, dir: String): DataFrame = {
+  def qCalibrate(spark: SparkSession, dir: String): DataFrame =
+    Calibrate.linearFit(calibrationPairs(spark, dir), "x", "y", Seq("lang"))
+      .orderBy("lang")
+
+  /** Overlap pairs for the calibration family: per-(cell, lang) counts
+    * of two source groups over their common cells (x = reference group,
+    * y = target group). */
+  private def calibrationPairs(spark: SparkSession, dir: String): DataFrame = {
     val geo = Pages.geoCells(spark, dir, JoinRes)
     val firstTen = (0 until 10).map(i => s"src$i")
     val x = geo.filter(col("source").isin(firstTen: _*))
       .groupBy("cell", "lang").agg(count(lit(1)).as("x"))
     val y = geo.filter(!col("source").isin(firstTen: _*))
       .groupBy("cell", "lang").agg(count(lit(1)).as("y"))
-    val pairs = x.join(y, Seq("cell", "lang"))
-    Calibrate.linearFit(pairs, "x", "y", Seq("lang")).orderBy("lang")
+    x.join(y, Seq("cell", "lang"))
   }
+
+  /** The composed reference workflow (bands_correlation,
+    * overlap.py:182-237) end-to-end: overlap discover -> per-band fit
+    * -> normalized mean-abs-diff gate -> array_correction -> re-score.
+    * Gates A3+A4+F6+F8 composition in one oracle-checked pass; band =
+    * lang. */
+  def qCalibrateE2e(spark: SparkSession, dir: String): DataFrame =
+    Calibrate.calibrationPipeline(calibrationPairs(spark, dir), "lang", 0.05)
+      .orderBy("lang")
+
+  /** A3 min-max normalize (overlap.py:41-46) over a partition. */
+  def qMinmaxNorm(spark: SparkSession, dir: String): DataFrame =
+    Pages.fromDocuments(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Calibrate.minMaxNormalize(col("n_chars"), Seq(col("lang"))).as("norm"))
+      .orderBy("doc_id")
+
+  /** A4 mean absolute difference (overlap.py:214-216), the ungrouped
+    * helper over the calibration overlap pairs. */
+  def qMeanAbsDiff(spark: SparkSession, dir: String): DataFrame =
+    Calibrate.meanAbsDiff(calibrationPairs(spark, dir), "x", "y")
 
   /** F8 array_correction semantics (negative-revert + uint16 wrap),
     * applied to per-cell values against a constant intercept. */
@@ -322,19 +416,48 @@ object SparkEntry {
 
   /** J1 again through the SALTED shuffle-join path (SURVEY.md §4.3:
     * hot ccTLD cells; result-identical to qExtract by construction,
-    * verified against the same oracle). */
+    * verified against the same oracle). The big side is the RAW page
+    * table (many rows per hot cell — the case salting exists for), the
+    * salt source is the per-row-unique doc_id, and the per-cell
+    * aggregation runs AFTER the spread join: a hot cell's pages land on
+    * 16 reducers instead of one. (Round-1 salted the pre-aggregated
+    * raster by its own join key — every row of a hot key got the same
+    * salt, i.e. a plain join in disguise; ADVICE r1 #1.) */
   def qSaltedExtract(spark: SparkSession, dir: String): DataFrame = {
     val points = Extract.pointsWithCells(
       Points.fromTable(spark, dir, "customer", "c_custkey",
         Seq("c_mktsegment"), "c"), JoinRes)
       .select("pid", "c_mktsegment", "cell")
-    val raster = Pages.geoCells(spark, dir, JoinRes)
-      .groupBy("cell")
+    val pages = Pages.geoCells(spark, dir, JoinRes)
+      .select("cell", "doc_id", "n_chars")
+    graft.ops.Skew.saltedEquiJoin(pages, points, Seq("cell"), col("doc_id"))
+      .groupBy("pid", "c_mktsegment")
       .agg(count(lit(1)).as("n_pages"), sum("n_chars").as("sum_chars"))
-    graft.ops.Skew.saltedEquiJoin(raster, points, Seq("cell"), col("cell"))
       .select(col("pid"), col("c_mktsegment").as("segment"),
         col("n_pages"), col("sum_chars"))
       .orderBy("pid")
+  }
+
+  /** U2+U3+A2+A9 (the extract_Xy class-edit sequence of the charcoal
+    * workflow, sent2_charcoal.py:101-104): extract -> label histogram
+    * -> add_class("masked", 9999) with id = max+1 and n = max class
+    * count -> remove_class -> final per-class rollup. */
+  def qClassEdit(spark: SparkSession, dir: String): DataFrame = {
+    val points = Points.fromTable(spark, dir, "customer", "c_custkey",
+      Seq("c_mktsegment"), "c")
+    val raster = Pages.geoPages(spark, dir, JoinRes)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("b1"), sum("n_chars").as("b2"))
+    val xy = Extract.extract(points, raster, JoinRes, Seq("b1", "b2"))
+      .select(col("b1"), col("b2"),
+        col("c_mktsegment").as("classname"),
+        ascii(substring(col("c_mktsegment"), 1, 1)).cast("long").as("label_id"))
+    val added = Extract.addClass(xy, Seq("b1", "b2"), lit(9999L), "masked")
+    val cleaned = Extract.removeClass(added, 70L) // FURNITURE
+    Extract.labelHistogram(cleaned)
+      .join(cleaned.groupBy("label_id")
+        .agg(sum("b1").as("sum_b1"), sum("b2").as("sum_b2")), Seq("label_id"))
+      .orderBy("label_id")
   }
 
   // ---- kNN (ring expansion) -----------------------------------------------
@@ -388,6 +511,24 @@ object SparkEntry {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.ngramJaccard(
         graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** n-gram Jaccard with the document-frequency cap (the 100-TB path:
+    * candidates from rare shingles only, exact Jaccard on full sets). */
+  def qNgramCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.ngramJaccard(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.3,
+        maxDf = Some(graft.text.Dedup.NgramMaxDf))
+      .orderBy("id_a", "id_b")
+
+  /** Scale-tier MinHash configuration (128 hashes, 16 bands of 8 — the
+    * recall/precision point real CC-scale dedup runs at) verified
+    * through the oracle on a corpus subset. */
+  def qMinhashWide(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashLsh(
+        graft.sources.Corpus.withDups(spark, dir)
+          .filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", 0.4, numHashes = 128, rowsPerBand = 8)
       .orderBy("id_a", "id_b")
 
   /** Language-ID by marker-token votes (n-gram heuristic family). */
@@ -496,6 +637,9 @@ object SparkEntry {
     "q_clip_poly" -> (qClipPoly _),
     "q_extent" -> (qExtent _),
     "q_overlaps" -> (qOverlaps _),
+    "q_overlaps_cells" -> (qOverlapsCells _),
+    "q_asset_udm2" -> (qAssetUdm2 _),
+    "q_overlap_pairing" -> (qOverlapPairing _),
     "q_one_vs_all" -> (qOneVsAll _),
     "q_semi_points" -> (qSemiPoints _),
     "q_resample" -> (qResample _),
@@ -505,6 +649,10 @@ object SparkEntry {
     "q_stack_indexes" -> (qStackIndexes _),
     "q_mosaic" -> (qMosaic _),
     "q_calibrate" -> (qCalibrate _),
+    "q_calibrate_e2e" -> (qCalibrateE2e _),
+    "q_minmax_norm" -> (qMinmaxNorm _),
+    "q_mean_abs_diff" -> (qMeanAbsDiff _),
+    "q_class_edit" -> (qClassEdit _),
     "q_correction" -> (qCorrection _),
     "q_extract" -> (qExtract _),
     "q_salted_extract" -> (qSaltedExtract _),
@@ -517,6 +665,8 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_ngram_capped" -> (qNgramCapped _),
+    "q_minhash_wide" -> (qMinhashWide _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),

@@ -76,4 +76,71 @@ object Calibrate {
     val asLong = corrected.cast("long")
     if (uint16Parity) pmod(asLong, lit(65536L)) else asLong
   }
+
+  /**
+   * The reference's flagship calibration workflow composed end-to-end
+   * (`bands_correlation`, overlap.py:182-237): per band over the
+   * overlap pairs (band, x=reference, y=target),
+   *
+   *   1. linear fit y ~ x  (A5/A6: n, slope, intercept, r2);
+   *   2. normalized mean absolute difference (F6 `calc_diff_arr`
+   *      composed with A3 min-max normalize + A4 mean: both sides
+   *      normalized by their OWN min/max over the overlap, then
+   *      mad = mean |x_norm − y_norm|);
+   *   3. bands with mad > threshold are corrected (F8
+   *      array_correction: y − intercept, negative-revert, uint16) and
+   *      re-scored (`diff_corr`, overlap.py:216-221) — mad_corr is NULL
+   *      for bands under the threshold (no correction applied);
+   *   plus raw_mad = mean |x − y| (the un-normalized A4 helper shape).
+   *
+   * Determinism (oracle parity at any parallelism): `x`/`y` must be
+   * integral. The normalized mad is computed from exact integer sums —
+   *   |x_n − y_n| = |(x−min_x)·D_y − (y−min_y)·D_x| / (D_x·D_y)
+   * with D = max−min, so mad = Σ|num| / (n·D_x·D_y): one closed-form
+   * double division of Long sums, no float accumulation. (Bounds: with
+   * values ≤ 10^5 and n ≤ 10^8 rows/band the Long sum stays < 2^63.)
+   *
+   * Scale shape: min/max/fit are groupBy aggregates broadcast back to
+   * the pair rows — NOT a Window.partitionBy(band), which would funnel
+   * each band's full overlap through one reducer. Two passes over the
+   * pair relation (extremes, then normalized sums) — `pairs` is cached
+   * between them; caller owns the lifetime.
+   *
+   * Output: (band, n, slope, intercept, r2, raw_mad, mad, needs_corr,
+   * mad_corr).
+   */
+  def calibrationPipeline(pairs: DataFrame, bandCol: String,
+                          threshold: Double): DataFrame = {
+    val p = pairs.cache()
+    val fit = linearFit(p, "x", "y", Seq(bandCol))
+    val withC = p
+      .join(broadcast(fit.select(col(bandCol), col("intercept"))), Seq(bandCol))
+      .withColumn("c", arrayCorrection(col("y"), col("intercept")))
+      .cache()
+    // pass 1: per-band extremes + exact raw sums
+    val stats = withC.groupBy(bandCol).agg(
+      sum(abs(col("x") - col("y"))).as("sad"),
+      min("x").as("minx"), max("x").as("maxx"),
+      min("y").as("miny"), max("y").as("maxy"),
+      min("c").as("minc"), max("c").as("maxc"))
+    // pass 2: normalized |diff| numerators as exact integer sums
+    val dxy = (col("maxx") - col("minx")) * (col("maxy") - col("miny"))
+    val dxc = (col("maxx") - col("minx")) * (col("maxc") - col("minc"))
+    val nums = withC.join(broadcast(stats), Seq(bandCol)).groupBy(bandCol).agg(
+      sum(abs((col("x") - col("minx")) * (col("maxy") - col("miny")) -
+        (col("y") - col("miny")) * (col("maxx") - col("minx")))).as("snum"),
+      sum(abs((col("x") - col("minx")) * (col("maxc") - col("minc")) -
+        (col("c") - col("minc")) * (col("maxx") - col("minx")))).as("snumc"))
+    val mad = try_divide(col("snum").cast("double"),
+      (col("n") * dxy).cast("double"))
+    val madCorr = try_divide(col("snumc").cast("double"),
+      (col("n") * dxc).cast("double"))
+    fit.join(stats, Seq(bandCol)).join(nums, Seq(bandCol))
+      .select(col(bandCol), col("n"), col("slope"), col("intercept"),
+        col("r2"),
+        (col("sad").cast("double") / col("n").cast("double")).as("raw_mad"),
+        mad.as("mad"),
+        (mad > threshold).as("needs_corr"),
+        when(mad > threshold, madCorr).as("mad_corr"))
+  }
 }

@@ -42,6 +42,41 @@ object Overlaps {
         least(col("a.lat_max"), col("b.lat_max")).as("ilat_max"))
   }
 
+  /** J2 at huge source counts (SURVEY §2.3 fallback): when the extent
+    * table itself is too big to broadcast, candidates come from a cell
+    * equi-join — each bbox explodes into its covering cells at `res`,
+    * same-cell pairs are verified by the exact bbox predicate. Result
+    * is IDENTICAL to allPairs: two intersecting boxes always share the
+    * cell containing any point of their intersection, so no pair is
+    * missed; distinct collapses multi-cell duplicates. Pick `res` so a
+    * typical extent covers a handful of cells. */
+  def allPairsByCells(ext: DataFrame, res: Int): DataFrame = {
+    import graft.functions.cell_of
+    val n = (1L << res).toDouble
+    val hi = lit((1L << res) - 1L)
+    def xi(c: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(hi, floor((c + 180.0) / 360.0 * n).cast("long")))
+    def yi(c: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(hi, floor((c + 90.0) / 180.0 * n).cast("long")))
+    val cells = ext
+      .withColumn("xi", explode(sequence(xi(col("lon_min")), xi(col("lon_max")))))
+      .withColumn("yi", explode(sequence(yi(col("lat_min")), yi(col("lat_max")))))
+      .withColumn("cell", cell_of(
+        (col("xi").cast("double") + 0.5) / n * 360.0 - 180.0,
+        (col("yi").cast("double") + 0.5) / n * 180.0 - 90.0, res))
+      .drop("xi", "yi")
+    val a = cells.alias("a"); val b = cells.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.src") < col("b.src") && bboxIntersects("a", "b"))
+      .select(
+        col("a.src").as("src_a"), col("b.src").as("src_b"),
+        greatest(col("a.lon_min"), col("b.lon_min")).as("ilon_min"),
+        greatest(col("a.lat_min"), col("b.lat_min")).as("ilat_min"),
+        least(col("a.lon_max"), col("b.lon_max")).as("ilon_max"),
+        least(col("a.lat_max"), col("b.lat_max")).as("ilat_max"))
+      .distinct()
+  }
+
   /** J3: one reference source vs all others (broadcast side = 1 row). */
   def oneVsAll(ext: DataFrame, refSrc: String): DataFrame = {
     val ref = ext.filter(col("src") === refSrc).alias("a")

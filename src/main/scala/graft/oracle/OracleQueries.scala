@@ -106,6 +106,68 @@ object OracleQueries {
          |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
          |ORDER BY 1, 2""".stripMargin,
 
+    // the cover-cell fallback is result-identical to the broadcast
+    // all-pairs join — same oracle statement verifies it bit-for-bit
+    "q_overlaps_cells" ->
+      s"""${geoPrefixAnd(Res,
+        """ext AS (SELECT source AS src, min(lon) AS lon_min, min(lat) AS lat_min,
+          |  max(lon) AS lon_max, max(lat) AS lat_max FROM geo GROUP BY 1)""".stripMargin)}
+         |SELECT a.src AS src_a, b.src AS src_b,
+         |  greatest(a.lon_min, b.lon_min) AS ilon_min,
+         |  greatest(a.lat_min, b.lat_min) AS ilat_min,
+         |  least(a.lon_max, b.lon_max) AS ilon_max,
+         |  least(a.lat_max, b.lat_max) AS ilat_max
+         |FROM ext a JOIN ext b ON a.src < b.src
+         |  AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+         |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_asset_udm2" ->
+      """WITH b AS (SELECT doc_id, '/pl/' || source || '/' ||
+        |    CAST(20200700 + doc_id % 30 AS VARCHAR) || '_' ||
+        |    CAST(103000 + doc_id % 60 AS VARCHAR) || '_ssc' ||
+        |    CAST(doc_id % 9 AS VARCHAR) || '_u' ||
+        |    CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents),
+        |listing AS (
+        |  SELECT base || CASE WHEN doc_id % 5 = 0
+        |    THEN '_ortho_panchromatic.tif' ELSE '_analytic.tif' END AS path FROM b
+        |  UNION ALL SELECT base || CASE WHEN doc_id % 5 = 0 THEN '_panchromatic_udm2.tif'
+        |    WHEN doc_id % 2 = 0 THEN '_ortho_udm2.tif' ELSE '_3_udm2.tif' END
+        |    FROM b WHERE doc_id % 4 <> 0
+        |  UNION ALL SELECT base || '_cloud_udm2.tif' FROM b WHERE doc_id % 7 = 0),
+        |e AS (SELECT path,
+        |    regexp_extract(path, '^(.*)/[^/]*$', 1) AS dir,
+        |    regexp_extract(path, '([^/]*)$', 1) AS name FROM listing),
+        |e2 AS (SELECT *,
+        |    regexp_extract(name, '^([^_]+_[^_]+_[^_]+_[^_]+)_', 1) AS info,
+        |    regexp_extract(name, '^(?:[^_]+_){4}(.+?)\.[^.]*$', 1) AS asset FROM e),
+        |p AS (SELECT path AS asset_path, dir, info, asset FROM e2
+        |  WHERE asset IN ('analytic', 'ortho_panchromatic')),
+        |u AS (SELECT dir, info, name AS uname, path AS udm2_path FROM e2
+        |  WHERE name LIKE '%udm2%')
+        |SELECT asset_path, asset, udm2_path
+        |FROM p JOIN u ON p.dir = u.dir AND p.info = u.info
+        |WHERE (asset = 'analytic' AND (uname LIKE '%ortho_udm2.tif'
+        |    OR regexp_matches(uname, '[0-9]_udm2\.tif$')))
+        |  OR (asset = 'ortho_panchromatic' AND uname LIKE '%panchromatic_udm2.tif')
+        |ORDER BY asset_path, udm2_path""".stripMargin,
+
+    "q_overlap_pairing" ->
+      """WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS i FROM nation),
+        |t AS (SELECT i, 'T20M' || chr(CAST(66 + i % 8 AS INT)) ||
+        |    chr(CAST(65 + (i * 3) % 26 AS INT)) AS tile FROM n),
+        |refs AS (SELECT 'overlaps/T20MPA_poly_' || CAST(i * 2 AS VARCHAR) || '.tif' AS path FROM n),
+        |tgts AS (SELECT 'overlaps/poly_' || CAST(i * 3 AS VARCHAR) || '_' || tile || '.tif' AS path, tile FROM t),
+        |rr AS (SELECT path AS ref_path, row_number() OVER (ORDER BY
+        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS BIGINT)) AS rk FROM refs),
+        |tr AS (SELECT path AS target_path, tile, row_number() OVER (ORDER BY
+        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS BIGINT)) AS rk FROM tgts),
+        |st AS (SELECT 'stacks/' || tile || '_20200729.tif' AS stack_path, tile FROM t)
+        |SELECT rr.rk AS rk, ref_path, target_path, stack_path
+        |FROM rr JOIN tr ON rr.rk = tr.rk JOIN st ON tr.tile = st.tile
+        |ORDER BY rr.rk""".stripMargin,
+
     "q_one_vs_all" ->
       s"""${geoPrefixAnd(Res,
         """ext AS (SELECT source AS src, min(lon) AS lon_min, min(lat) AS lat_min,
@@ -217,6 +279,86 @@ object OracleQueries {
          |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
          |FROM s ORDER BY lang""".stripMargin,
 
+    "q_calibrate_e2e" -> {
+      // Calibrate.calibrationPipeline parity: fit from exact integer
+      // sums; normalized mad from the integer numerator identity
+      // |x_n - y_n| = |(x-minx)*Dy - (y-miny)*Dx| / (Dx*Dy);
+      // array_correction = y - intercept w/ negative revert + uint16
+      // (corrected is always >= 0, so plain % == pmod)
+      val slope = "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"
+      val madE = "CAST(snum AS DOUBLE) / CAST(n*(maxx-minx)*(maxy-miny) AS DOUBLE)"
+      s"""${geoPrefixAnd(JoinRes,
+        s"""x AS (SELECT cell, lang, count(*) AS x FROM enc
+           |  WHERE source IN ($firstTen) GROUP BY 1, 2),
+           |y AS (SELECT cell, lang, count(*) AS y FROM enc
+           |  WHERE source NOT IN ($firstTen) GROUP BY 1, 2),
+           |p AS (SELECT x.cell, x.lang, x.x, y.y FROM x JOIN y
+           |  ON x.cell = y.cell AND x.lang = y.lang),
+           |s AS (SELECT lang, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+           |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+           |  CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
+           |  FROM p GROUP BY 1),
+           |f AS (SELECT lang, n, $slope AS slope,
+           |  (CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+           |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
+           |  FROM s),
+           |pc AS (SELECT p.lang, p.x, p.y,
+           |  (CAST(trunc(CASE WHEN p.y - f.intercept < 0 THEN CAST(p.y AS DOUBLE)
+           |    ELSE p.y - f.intercept END) AS BIGINT) % 65536) AS c
+           |  FROM p JOIN f ON p.lang = f.lang),
+           |st AS (SELECT lang, CAST(sum(abs(x - y)) AS BIGINT) AS sad,
+           |  min(x) AS minx, max(x) AS maxx, min(y) AS miny, max(y) AS maxy,
+           |  min(c) AS minc, max(c) AS maxc FROM pc GROUP BY 1),
+           |nm AS (SELECT pc.lang,
+           |  CAST(sum(abs((x - minx)*(maxy - miny) - (y - miny)*(maxx - minx))) AS BIGINT) AS snum,
+           |  CAST(sum(abs((x - minx)*(maxc - minc) - (c - minc)*(maxx - minx))) AS BIGINT) AS snumc
+           |  FROM pc JOIN st ON pc.lang = st.lang GROUP BY 1)""".stripMargin)}
+         |SELECT f.lang, n, slope, intercept, r2,
+         |  CAST(sad AS DOUBLE) / CAST(n AS DOUBLE) AS raw_mad,
+         |  $madE AS mad,
+         |  ($madE > 0.05) AS needs_corr,
+         |  CASE WHEN $madE > 0.05 THEN
+         |    CAST(snumc AS DOUBLE) / CAST(n*(maxx-minx)*(maxc-minc) AS DOUBLE)
+         |  END AS mad_corr
+         |FROM f JOIN st ON f.lang = st.lang JOIN nm ON f.lang = nm.lang
+         |ORDER BY f.lang""".stripMargin
+    },
+
+    "q_minmax_norm" ->
+      s"""WITH $pagesCte
+         |SELECT doc_id, lang,
+         |  (n_chars - min(n_chars) OVER (PARTITION BY lang)) /
+         |  (max(n_chars) OVER (PARTITION BY lang) - min(n_chars) OVER (PARTITION BY lang)) AS norm
+         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "q_mean_abs_diff" ->
+      s"""${geoPrefixAnd(JoinRes,
+        s"""x AS (SELECT cell, lang, count(*) AS x FROM enc
+           |  WHERE source IN ($firstTen) GROUP BY 1, 2),
+           |y AS (SELECT cell, lang, count(*) AS y FROM enc
+           |  WHERE source NOT IN ($firstTen) GROUP BY 1, 2),
+           |p AS (SELECT x.x, y.y FROM x JOIN y
+           |  ON x.cell = y.cell AND x.lang = y.lang)""".stripMargin)}
+         |SELECT avg(abs(x - y)) AS mad FROM p""".stripMargin,
+
+    "q_class_edit" ->
+      s"""${geoPrefixAnd(JoinRes,
+        s"""raster AS (SELECT cell, count(*) AS b1,
+           |  CAST(sum(n_chars) AS BIGINT) AS b2 FROM enc GROUP BY 1),
+           |${pointsChain("customer", "c_custkey", Seq("c_mktsegment"), "c", "cpt")},
+           |${encChain("cpt", JoinRes, "cptc")},
+           |xy AS (SELECT r.b1, r.b2,
+           |  CAST(ascii(substring(p.c_mktsegment, 1, 1)) AS BIGINT) AS label_id
+           |  FROM cptc p JOIN raster r ON p.cell = r.cell),
+           |hist AS (SELECT label_id, count(*) AS n FROM xy GROUP BY 1),
+           |st AS (SELECT max(label_id) AS max_id, max(n) AS max_n FROM hist),
+           |agg AS (SELECT label_id, count(*) AS n,
+           |    CAST(sum(b1) AS BIGINT) AS sum_b1, CAST(sum(b2) AS BIGINT) AS sum_b2
+           |  FROM xy GROUP BY 1
+           |  UNION ALL SELECT max_id + 1, max_n, 9999 * max_n, 9999 * max_n FROM st)""".stripMargin)}
+         |SELECT label_id, n, sum_b1, sum_b2 FROM agg
+         |WHERE label_id <> 70 ORDER BY label_id""".stripMargin,
+
     "q_correction" ->
       s"""${geoPrefixAnd(10,
         "base AS (SELECT cell, count(*) AS v FROM enc GROUP BY 1)")}
@@ -293,11 +435,12 @@ object OracleQueries {
   // ---- text / dedup / vector / lineage oracles ----------------------------
 
   /** corpus -> distinct (id, shingle) CTE chain (Dedup.docShingles). */
-  private val shChain: String =
-    """tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM corpus),
-      |sh0 AS (SELECT id, unnest(list_transform(range(0, len(t)-2),
-      |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle FROM tok),
-      |sh AS (SELECT DISTINCT id, shingle FROM sh0)""".stripMargin
+  private def shChainFrom(src: String): String =
+    s"""tok AS (SELECT doc_id AS id, string_split(text, ' ') AS t FROM $src),
+       |sh0 AS (SELECT id, unnest(list_transform(range(0, len(t)-2),
+       |  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle FROM tok),
+       |sh AS (SELECT DISTINCT id, shingle FROM sh0)""".stripMargin
+  private val shChain: String = shChainFrom("corpus")
 
   /** pairs (cand with id_a/id_b) -> exact jaccard (Dedup.jaccard). */
   private def jaccardTail(threshold: Double): String =
@@ -312,6 +455,42 @@ object OracleQueries {
        |  JOIN sizes nb ON nb.id = com.id_b)
        |SELECT id_a, id_b, common, n_a, n_b, jaccard FROM jac
        |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Parameterized MinHash-LSH oracle (Dedup.minhashLsh): hash family =
+    * md5 WORDS of salted shingles — hash i lives at hex offset 8*(i%4)
+    * of md5(shingle [|| '#'||(i/4)]); numHashes/4 digests per shingle.
+    * `corpusFilter`: optional predicate applied to the dup-planted
+    * corpus (the wide config verifies on a subset to bound oracle
+    * cost). */
+  private def minhashLshSql(numHashes: Int, rowsPerBand: Int,
+                            threshold: Double,
+                            corpusFilter: Option[String]): String = {
+    val nSalts = numHashes / 4
+    val nBands = numHashes / rowsPerBand
+    val src = corpusFilter.map(_ => "corpusf").getOrElse("corpus")
+    val filterCte = corpusFilter
+      .map(f => s"corpusf AS (SELECT * FROM corpus WHERE $f),\n").getOrElse("")
+    val mds = (0 until nSalts).map { s =>
+      if (s == 0) "md5(shingle) AS md0" else s"md5(shingle || '#$s') AS md$s"
+    }.mkString(", ")
+    val mins = (0 until numHashes).map(i =>
+      s"min(${h32FromMd(s"md${i / 4}", 8 * (i % 4))}) AS m$i").mkString(", ")
+    val bandRows = (0 until nBands).map { b =>
+      val ks = (0 until rowsPerBand)
+        .map(r => s"m${b * rowsPerBand + r} AS k$r").mkString(", ")
+      s"SELECT id, $b AS band, $ks FROM minh"
+    }.mkString("\n  UNION ALL ")
+    val keyEq = (0 until rowsPerBand).map(r => s"a.k$r = b.k$r").mkString(" AND ")
+    s"""WITH $corpusCte,
+       |$filterCte${shChainFrom(src)},
+       |mh AS (SELECT id, shingle, $mds FROM sh),
+       |minh AS (SELECT id, $mins FROM mh GROUP BY id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+       |  JOIN bands b ON a.band = b.band AND $keyEq
+       |  AND a.id < b.id),
+       |${jaccardTail(threshold)}""".stripMargin
+  }
 
   private def simhashBitSum: String =
     (0 until graft.text.SimHash.Bits).map { b =>
@@ -339,26 +518,9 @@ object OracleQueries {
          |SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper
          |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_minhash_lsh" -> {
-      // hash family = md5 WORDS of salted shingles (Dedup.minhash):
-      // hash i lives at hex offset 8*(i%4) of md5(shingle [|| '#'||i/4])
-      val mds = Seq("md5(shingle) AS md0", "md5(shingle || '#1') AS md1")
-        .mkString(", ")
-      val mins = (0 until 8).map(i =>
-        s"min(${h32FromMd(s"md${i / 4}", 8 * (i % 4))}) AS m$i").mkString(", ")
-      val bandRows = (0 until 4).map { b =>
-        s"SELECT id, $b AS band, m${2 * b} AS k0, m${2 * b + 1} AS k1 FROM minh"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $corpusCte,
-         |$shChain,
-         |mh AS (SELECT id, shingle, $mds FROM sh),
-         |minh AS (SELECT id, $mins FROM mh GROUP BY id),
-         |bands AS ($bandRows),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-         |  JOIN bands b ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1
-         |  AND a.id < b.id),
-         |${jaccardTail(0.4)}""".stripMargin
-    },
+    "q_minhash_lsh" -> minhashLshSql(8, 2, 0.4, None),
+
+    "q_minhash_wide" -> minhashLshSql(128, 8, 0.4, Some("doc_id % 3 = 0")),
 
     "q_simhash" ->
       s"""WITH $corpusCte,
@@ -377,6 +539,16 @@ object OracleQueries {
          |$shChain,
          |cand AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b FROM sh sa
          |  JOIN sh sb ON sa.shingle = sb.shingle AND sa.id < sb.id),
+         |${jaccardTail(0.3)}""".stripMargin,
+
+    "q_ngram_capped" ->
+      s"""WITH $corpusCte,
+         |$shChain,
+         |rare AS (SELECT id, shingle FROM sh WHERE shingle IN (
+         |  SELECT shingle FROM sh GROUP BY 1
+         |  HAVING count(*) <= ${graft.text.Dedup.NgramMaxDf})),
+         |cand AS (SELECT DISTINCT sa.id AS id_a, sb.id AS id_b FROM rare sa
+         |  JOIN rare sb ON sa.shingle = sb.shingle AND sa.id < sb.id),
          |${jaccardTail(0.3)}""".stripMargin,
 
     "q_lang_id" -> {

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Filename-companion joins over asset listings (SURVEY.md J7/J8).
+ *
+ * J7 — asset ↔ udm2 companion discovery (geoRpro
+ * script/filter_imgs.py:51-79): a Planet asset name is
+ * `date_time_sat_unit_asset.tif`; `get_file_info` splits it into the
+ * 4-token info prefix and the asset type (1 or 2 words, extension
+ * stripped), and `get_udm2` scans the directory for `info*udm2*` files
+ * matching an asset-type-specific pattern. The reference's
+ * per-file directory rescan becomes ONE equi-join on (dir, info) with
+ * the pattern as a join-side predicate — linear, not quadratic, in
+ * listing size.
+ *
+ * J8 — overlap-polygon pairing (geoRpro overlap.py:310-331): reference
+ * polys (name contains the ref tile) and target polys are each sorted
+ * by the integer formed from ALL digits in the filename and zipped
+ * pairwise; each target's full stack is found by matching the tile
+ * token (last `_`-token of the stem) against the stacks listing.
+ * Relationally: rank each side by the digit key (a window over a FILE
+ * LISTING — catalog-scale, thousands of rows, not data-scale) and
+ * equi-join on rank, then equi-join tile token against the stacks'
+ * leading token.
+ */
+object Assets {
+
+  /** Parse a listing (`path` column) into (path, dir, name, info,
+    * asset): info = first 4 `_`-tokens, asset = remainder with the
+    * extension stripped (filter_imgs.py:50-64). Non-conforming names
+    * (< 5 tokens) drop. */
+  def entries(listing: DataFrame): DataFrame = {
+    val name = element_at(split(col("path"), "/"), -1)
+    listing
+      .withColumn("name", name)
+      .withColumn("dir", regexp_extract(col("path"), "^(.*)/[^/]*$", 1))
+      .withColumn("info", regexp_extract(col("name"),
+        "^([^_]+_[^_]+_[^_]+_[^_]+)_", 1))
+      .withColumn("asset", regexp_extract(col("name"),
+        "^(?:[^_]+_){4}(.+?)\\.[^.]*$", 1))
+      .filter(col("info") =!= "" && col("asset") =!= "")
+  }
+
+  /** J7: primary assets joined to their udm2 companion
+    * (filter_imgs.py:66-79 `get_udm2` semantics: same dir, same info
+    * prefix, name contains 'udm2', pattern by asset type). Emits
+    * (asset_path, asset, udm2_path). */
+  def withUdm2(listing: DataFrame): DataFrame = {
+    val e = entries(listing)
+    val primary = e.filter(col("asset").isin("analytic", "ortho_panchromatic"))
+      .select(col("path").as("asset_path"), col("dir"), col("info"), col("asset"))
+    val udm = e.filter(col("name").contains("udm2"))
+      .select(col("dir"), col("info"), col("name").as("uname"),
+        col("path").as("udm2_path"))
+    primary.join(udm, Seq("dir", "info"))
+      .filter(
+        (col("asset") === "analytic" &&
+          (col("uname").endsWith("ortho_udm2.tif") ||
+            col("uname").rlike("[0-9]_udm2\\.tif$"))) ||
+        (col("asset") === "ortho_panchromatic" &&
+          col("uname").endsWith("panchromatic_udm2.tif")))
+      .select("asset_path", "asset", "udm2_path")
+  }
+
+  /** All digits of the filename as the reference's sort key
+    * (overlap.py:315 `int(''.join(filter(str.isdigit, x)))`). */
+  private def digitKey(name: org.apache.spark.sql.Column) =
+    regexp_replace(name, "[^0-9]", "").cast("long")
+
+  /** J8: pair ref/target overlap polys by digit-key order, attach each
+    * target's stack by tile token. `polys`/`stacks` are listings with a
+    * `path` column. Emits (rk, ref_path, target_path, stack_path). */
+  def pairOverlaps(polys: DataFrame, stacks: DataFrame,
+                   refTile: String): DataFrame = {
+    val p = polys.withColumn("name", element_at(split(col("path"), "/"), -1))
+      .withColumn("key", digitKey(col("name")))
+    val byKey = Window.orderBy("key")
+    val refs = p.filter(col("name").contains(refTile))
+      .select(col("path").as("ref_path"), row_number().over(byKey).as("rk"))
+    val targets = p.filter(!col("name").contains(refTile))
+      .withColumn("tile",
+        element_at(split(element_at(split(col("name"), "\\."), 1), "_"), -1))
+      .select(col("path").as("target_path"), col("tile"),
+        row_number().over(byKey).as("rk"))
+    val s = stacks
+      .withColumn("sname", element_at(split(col("path"), "/"), -1))
+      .filter(!col("sname").contains(refTile)) // overlap.py:327 f != ref
+      .select(col("path").as("stack_path"),
+        element_at(split(col("sname"), "_"), 1).as("tile"))
+    refs.join(targets, Seq("rk"))
+      .join(s, Seq("tile"))
+      .select("rk", "ref_path", "target_path", "stack_path")
+  }
+}

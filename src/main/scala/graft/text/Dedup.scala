@@ -21,18 +21,27 @@ import TextOps._
  */
 object Dedup {
 
+  /** Default document-frequency cap for capped n-gram candidate
+    * generation (the gate configuration; production corpora tune it). */
+  val NgramMaxDf = 8
+
   /** Exact dedup: group by content hash, keep min id.
     * Returns (fp, n_dups, keeper). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
 
-  /** Distinct (id, shingle) pairs. */
+  /** All (id, shingle) occurrences (duplicates kept — min-aggregation
+    * consumers don't need the distinct shuffle). */
+  def docShinglesAll(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+
+  /** Distinct (id, shingle) pairs (the set semantics Jaccard needs). */
   def docShingles(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct()
+    docShinglesAll(df, idCol, textCol, k).distinct()
 
   /** MinHash signatures: numHashes 32-bit minima. The hash family is
     * the md5 WORDS of salted shingles — md5(shingle || '#' || salt)
@@ -99,17 +108,37 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified by exact
     * Jaccard >= threshold. Returns (id_a, id_b, common, n_a, n_b,
-    * jaccard). */
+    * jaccard).
+    *
+    * Scale shape (round-2 rework of the round-1 "distinct everything
+    * first" pipeline, whose full-shingle-relation distinct shuffle
+    * dominated the query):
+    *  - the minhash path aggregates RAW shingle occurrences — min is
+    *    idempotent over duplicates, and the map-side partial min-agg
+    *    collapses each partition to numHashes longs per doc, so the
+    *    only shuffle on this path is tiny;
+    *  - the exact-Jaccard verify needs distinct shingle SETS, but only
+    *    for docs that appear in a candidate pair — the shingle relation
+    *    is semi-joined to the (small, LSH-pruned) candidate id set
+    *    BEFORE its distinct, so the big distinct shuffle shrinks from
+    *    |corpus shingles| to |candidate docs' shingles|.
+    * Cache lifetime is the CALLER's (the returned plan references the
+    * cached relations lazily); Verify/Bench clearCache between queries.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.4, numHashes: Int = 8,
                  rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    // The shingle relation feeds candidate generation AND both sides of
-    // the jaccard verify, and the band relation feeds both sides of the
-    // bucket self-join — cache both (at warehouse scale: materialize)
-    // instead of re-hashing the corpus per consumer.
-    val sh = docShingles(df, idCol, textCol, k).cache()
-    val bnd = bands(minhash(sh, numHashes), numHashes, rowsPerBand).cache()
-    jaccard(candidates(bnd), sh).filter(col("jaccard") >= threshold)
+    val shAll = docShinglesAll(df, idCol, textCol, k)
+    val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
+    val cand = candidates(bnd).cache()
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    // candidate docs << corpus by LSH design -> broadcast the id set;
+    // drop the hint if a pathological corpus makes it exceed the
+    // broadcast threshold (the semi-join stays correct either way)
+    val sh = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
+      .distinct().cache()
+    jaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup: 60-bit signatures (graft.text.SimHash via the
@@ -138,26 +167,50 @@ object Dedup {
   }
 
   /** Exact n-gram-Jaccard near-dup via the inverted shingle index
-    * (no LSH): every pair sharing >= 1 shingle is scored exactly. */
+    * (no LSH): every pair sharing >= 1 shingle is scored exactly.
+    *
+    * `maxDf`: optional document-frequency cap on shingles feeding the
+    * inverted-index self-join — the join is quadratic in the hottest
+    * shingle's df (one boilerplate 3-gram shared by 10^6 docs means
+    * 10^12 pair rows), so at corpus scale candidates must come from
+    * rare shingles only. The cap bounds candidate generation; emitted
+    * pairs are still scored by exact Jaccard over FULL shingle sets, so
+    * values are exact — only pairs sharing nothing rarer than maxDf are
+    * missed (the standard recall trade; None = fully exact). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double, k: Int = 3): DataFrame = {
+                   threshold: Double, k: Int = 3,
+                   maxDf: Option[Int] = None): DataFrame = {
     val sh = docShingles(df, idCol, textCol, k).cache()
-    // The inverted-index self-join ALREADY enumerates one row per
-    // shared shingle per pair — aggregate it straight into the
-    // intersection size instead of distinct-ing pairs and re-joining
-    // the shingle sets (which would replay |pairs| x |shingles/doc|).
-    val a = sh.alias("a"); val b = sh.alias("b")
-    val common = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    common
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    maxDf match {
+      case Some(cap) =>
+        val rare = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("shingle"),
+          Seq("shingle"), "left_semi")
+        val a = rare.alias("a"); val b = rare.alias("b")
+        val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        jaccard(cand, sh).filter(col("jaccard") >= threshold)
+      case None =>
+        // The inverted-index self-join ALREADY enumerates one row per
+        // shared shingle per pair — aggregate it straight into the
+        // intersection size instead of distinct-ing pairs and re-joining
+        // the shingle sets (which would replay |pairs| x |shingles/doc|).
+        val a = sh.alias("a"); val b = sh.alias("b")
+        val common = a.join(b, col("a.shingle") === col("b.shingle") &&
+            col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("common"))
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+        common
+          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("common").cast("double") /
+              (col("n_a") + col("n_b") - col("common")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+    }
   }
 }

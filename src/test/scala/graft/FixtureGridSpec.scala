@@ -111,6 +111,39 @@ class FixtureGridSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 10, 0), (2L, 20, 1), (3L, 30, 0), (4L, 40, 1))))
   }
 
+  test("build_a_line keeps the reference's m*x MINUS b sign (F7)") {
+    // overlap.py:109-125 returns model[0]*x - model[1] — minus, not the
+    // poly1d plus; the sign is load-bearing for downstream corrections
+    val got = grid.limit(1)
+      .select(Calibrate.line(lit(2.0), lit(10.0), lit(3.0)))
+      .collect()(0).getDouble(0)
+    assert(got == 17.0)
+  }
+
+  test("calibrationPipeline: hand-computed fit/mad/correction (e2e math)") {
+    // band g: exact colinear pair, both sides normalize to [0,1] -> mad 0
+    // band h: (0,20) (10,0) (20,40): slope 1, intercept 10, r2 0.25;
+    //   x_n=[0,.5,1], y_n=[.5,0,1] -> mad=1/3 > 0.05 -> correct:
+    //   y-10=[10,-10,30], negative revert -> c=[10,0,30], c_n=[1/3,0,1]
+    //   -> mad_corr=(1/3+1/2+0)/3 = 5/18
+    val pairs = Seq(
+      ("g", 0L, 5L), ("g", 10L, 10L),
+      ("h", 0L, 20L), ("h", 10L, 0L), ("h", 20L, 40L))
+      .toDF("band", "x", "y")
+    val out = Calibrate.calibrationPipeline(pairs, "band", 0.05)
+      .orderBy("band").collect()
+    val g = out(0); val h = out(1)
+    assert(g.getDouble(2) == 0.5 && g.getDouble(3) == 5.0) // slope, intercept
+    assert(g.getAs[Double]("mad") == 0.0 && !g.getAs[Boolean]("needs_corr"))
+    assert(g.isNullAt(g.fieldIndex("mad_corr")))
+    assert(h.getDouble(2) == 1.0 && h.getDouble(3) == 10.0)
+    assert(h.getAs[Double]("r2") == 0.25)
+    assert(h.getAs[Double]("raw_mad") == (20.0 + 10.0 + 20.0) / 3.0)
+    assert(h.getAs[Double]("mad") == 800.0 / 2400.0)
+    assert(h.getAs[Boolean]("needs_corr"))
+    assert(h.getAs[Double]("mad_corr") == 500.0 / 1800.0)
+  }
+
   test("linear fit recovers an exact line (A5) incl. degenerate group") {
     val pts = (1 to 20).map(i => ("a", i.toLong, (3 * i + 7).toLong)) ++
       (1 to 5).map(_ => ("b", 4L, 9L)) // zero variance -> NULL fit
