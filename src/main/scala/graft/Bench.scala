@@ -37,6 +37,7 @@ object Bench {
     spark.read.parquet(s"$sfDir/documents.parquet").count() // JIT/IO warmup
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dt = try time(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
+      spark.catalog.clearCache() // release per-query pipeline caches
       name -> dt
     }
 
@@ -59,7 +60,34 @@ object Bench {
     // is then box tenancy + per-core clocks, not shuffle/serialization.
     val osb = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
-    def leg(p: Int, warm: Boolean): (Double, Double) = {
+    // Single-thread probe (ADVICE r1): one daemon thread runs a fixed
+    // integer-work loop WHILE the leg executes; its rate measures what
+    // one thread achieves under that leg's load — per-core clock
+    // (turbo) plus timesharing. probe8/probe32 therefore bounds the
+    // clock effect FROM ABOVE, and the clock-adjusted efficiency it
+    // yields is reported as an upper bound, not a point estimate.
+    final class Probe extends Thread {
+      @volatile private var running = true
+      @volatile var chunks = 0L
+      @volatile var sink = 0L // defeat dead-code elimination
+      setDaemon(true)
+      override def run(): Unit = {
+        var x = 12345L; var n = 0L
+        while (running) {
+          var i = 0
+          while (i < 100000) {
+            x = x * 6364136223846793005L + 1442695040888963407L; i += 1
+          }
+          n += 1
+        }
+        chunks = n; sink = x
+      }
+      def stopAndRate(wallSec: Double): Double = {
+        running = false; join(1000)
+        chunks * 100000.0 / wallSec / 1e6 // M ops/sec
+      }
+    }
+    def leg(p: Int, warm: Boolean): (Double, Double, Double) = {
       spark.stop()
       spark = session(p)
       spark.sparkContext.setLogLevel("WARN")
@@ -67,9 +95,12 @@ object Bench {
       // box-load stragglers (single-wave legs fold any blip straight
       // into the ratio); same practice as 3-4x tasks/core on a cluster.
       if (warm) time(tileJob(spark, p * 4)) // JIT warm, first leg only
+      val probe = new Probe
       val c0 = osb.getProcessCpuTime
+      probe.start()
       val wall = time(tileJob(spark, p * 4))
-      (wall, (osb.getProcessCpuTime - c0) / 1e9)
+      val cpu = (osb.getProcessCpuTime - c0) / 1e9
+      (wall, cpu, probe.stopAndRate(wall))
     }
     // interleaved rounds (8,32)x3, min per leg: the shared box
     // sporadically halves CPU throughput for stretches (measured via
@@ -82,16 +113,20 @@ object Bench {
       if (i > 0 && (System.nanoTime() - startedAt) / 1e9 > deadlineSec) None
       else Some((leg(8, warm = i == 0), leg(32, warm = i == 0)))
     }
-    val (t8, cpu8) = rounds.map(_._1).minBy(_._1)
-    val (t32, cpu32) = rounds.map(_._2).minBy(_._1)
+    val (t8, cpu8, probe8) = rounds.map(_._1).minBy(_._1)
+    val (t32, cpu32, probe32) = rounds.map(_._2).minBy(_._1)
     val eff = (t8 / t32) / 4.0
-    // cpu8/cpu32 on identical deterministic work isolates per-core
-    // cycle-rate effects (turbo: 8 busy cores clock higher than 32) +
-    // per-cycle contention; dividing them out of the wall ratio leaves
-    // the engine-attributable efficiency — the number that carries to
-    // N -> 4N EXECUTORS on a cluster, where per-core clocks are equal.
+    // cpu8/cpu32 on identical deterministic work folds per-core
+    // cycle-rate effects (turbo: 8 busy cores clock higher than 32)
+    // together with per-cycle contention (GC, memory bandwidth, spin);
+    // dividing it out of the wall ratio therefore yields an UPPER BOUND
+    // on the engine-attributable efficiency — contention would persist
+    // on same-shape cluster nodes. The probe ratio (single-thread rate
+    // during each leg) is the direct clock+timesharing measurement
+    // reported alongside so the decomposition is inspectable.
     val effCpu = cpu8 / cpu32
     val effEngine = eff / effCpu
+    val probeRatio = if (probe32 > 0) probe8 / probe32 else Double.NaN
     spark.stop()
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -102,7 +137,8 @@ object Bench {
       s""""tiles_per_sec":${(nTiles / t32).round},"pages":$nPages,"tiles":$nTiles,""" +
       f""""tile_job_sec_local8":$t8%.3f,"tile_job_sec_local32":$t32%.3f,"scaling_efficiency_8_to_32":$eff%.3f,""" +
       f""""cpu_sec_local8":$cpu8%.1f,"cpu_sec_local32":$cpu32%.1f,"cpu_work_parity_8_to_32":$effCpu%.3f,""" +
-      f""""scaling_efficiency_clock_adjusted":$effEngine%.3f,""" +
+      f""""probe_mops_local8":$probe8%.1f,"probe_mops_local32":$probe32%.1f,"probe_clock_ratio":$probeRatio%.3f,""" +
+      f""""scaling_efficiency_clock_adjusted_upper_bound":$effEngine%.3f,""" +
       f""""queries_total_sec":$total%.3f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

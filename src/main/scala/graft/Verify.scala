@@ -16,6 +16,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // pipelines cache intermediates (Dedup shingles, Knn rounds,
+      // pyramid levels); the sweep owns their lifetime — release
+      // between queries so storage memory never accumulates
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

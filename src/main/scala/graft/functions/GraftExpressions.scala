@@ -246,6 +246,15 @@ case class CellInRanges(child: Expression, flat: Array[Long])
   override def inputTypes = Seq(LongType)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cell_in_ranges"
+  // Array fields compare by identity — without structural equality two
+  // semantically identical cover predicates never satisfy
+  // semanticEquals, so CSE/canonicalization silently re-evaluate them
+  override def equals(other: Any): Boolean = other match {
+    case CellInRanges(c, f) => c == child && java.util.Arrays.equals(f, flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(flat)
   protected override def nullSafeEval(cell: Any): Any =
     CellIndex.inRanges(cell.asInstanceOf[Long], flat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

@@ -33,6 +33,14 @@ object Skew {
     * equi-join on `keys`. */
   def saltedEquiJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                      saltSrc: Column, s: Int = 16): DataFrame = {
+    // a salt derived from the join key itself gives every row of a hot
+    // key the SAME salt — a plain join in disguise, zero skew spreading
+    // (best-effort guard: catches the bare-column misuse; composite
+    // expressions over key columns remain the caller's responsibility)
+    require(!keys.contains(saltSrc.toString()),
+      s"saltSrc ($saltSrc) must be a per-row-unique column of the big " +
+        "side (e.g. a row id), not a join key — salting by the key " +
+        "assigns a hot key's rows one salt and spreads nothing")
     val saltedBig = big.withColumn("_salt", pmod(hash(saltSrc), lit(s)))
     val saltedSmall = small.withColumn("_salt",
       explode(array((0 until s).map(lit): _*)))

@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
  * Same filename grammar as the reference (sent2.py:11-18): tile
  * `T\d{2}\D{3}`, 8-digit date, band `B02..B12|B8A|AOT|SCL|TCI|WVP`,
  * trailing word attr; lookup key = band + attr (sent2.py:31-35).
- * The reference's duplicate check compares the bare band against the
- * attr-qualified KEYS (sent2.py:27-29) so it only fires when an attr-
- * less duplicate arrives — here the documented intent ("unique bands
- * only") is enforced exactly: any two entries with the same band fail.
- * Empty catalog fails like sent2.py:74-75.
+ * Duplicates are checked on the FULL key (band+attr), matching what the
+ * reference accepts in practice (sent2.py:27-35 keys B02_10m and
+ * B02_20m separately — the normal Sentinel-2 L2A layout where the same
+ * band ships at several resolutions); only two entries with the same
+ * band AND attr collide. Empty catalog fails like sent2.py:74-75.
  *
  * Two surfaces:
  *  - `entries`: DataFrame path for at-scale listings (regexp_extract +
@@ -43,17 +43,23 @@ object Catalog {
       .withColumn("key", concat(col("band"), col("attr")))
   }
 
-  /** Distributed validation: duplicate bands and emptiness. */
+  /** Distributed validation: duplicate keys (band+attr) and emptiness.
+    * The returned relation is cached for the caller's chained lookups;
+    * callers that are done with it own the unpersist. */
   def validated(listing: DataFrame): DataFrame = {
     val e = entries(listing).cache()
-    val dups = e.groupBy("band").count().filter(col("count") > 1)
-      .select("band").collect().map(_.getString(0))
-    if (dups.nonEmpty)
+    val dups = e.groupBy("key").count().filter(col("count") > 1)
+      .select("key").collect().map(_.getString(0))
+    if (dups.nonEmpty) {
+      e.unpersist()
       throw new IllegalArgumentException(
         s"Duplicate band '${dups.head}' found. " +
-          "The directory must contain unique bands only.")
-    if (e.isEmpty)
+          "The directory must contain unique band+attr keys only.")
+    }
+    if (e.isEmpty) {
+      e.unpersist()
       throw new IllegalArgumentException("No file matching found")
+    }
     e
   }
 

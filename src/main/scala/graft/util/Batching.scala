@@ -24,4 +24,15 @@ object Batching {
       i <- list.indices.iterator if i < list.length - 1
       j <- (i + 1 until list.length).iterator
     } yield (list(i), list(j))
+
+  /** F12 `sizeof_fmt` (script/filter_imgs.py:32-38): human-readable
+    * byte size, exact format parity with the reference's
+    * `"%3.1f%s%s"` ladder. */
+  def sizeofFmt(num: Double, suffix: String = "B"): String = {
+    val units = Seq("", "Ki", "Mi", "Gi", "Ti", "Pi", "Ei", "Zi")
+    var n = num
+    var i = 0
+    while (i < units.length && math.abs(n) >= 1024.0) { n /= 1024.0; i += 1 }
+    if (i < units.length) f"$n%3.1f${units(i)}$suffix" else f"$n%.1fYi$suffix"
+  }
 }

@@ -25,8 +25,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.getFpaths("B02", "nope", "TCI").length == 2)
   }
 
-  test("duplicate band fails (unique-bands invariant, sent2.py:27-29)") {
-    val dup = listing :+ "/other/T37MBN_20190812T073619_B02_10m.jp2"
+  test("duplicate band+attr key fails; attr-qualified variants are fine") {
+    // same band at another resolution = a DIFFERENT key (B02 vs B02_10m)
+    // — the normal Sentinel-2 L2A layout the reference accepts
+    // (sent2.py:27-35 keys them separately)
+    val multiRes = listing :+ "/other/T37MBN_20190812T073619_B02_10m.jp2"
+    val cat = Catalog.build(spark, multiRes)
+    assert(cat.getAllBands.contains("B02") && cat.getAllBands.contains("B02_10m"))
+    // a second attr-less B02 collides on the full key -> rejected
+    val dup = listing :+ "/other/T37MBN_20190812T073619_B02.jp2"
     val e = intercept[IllegalArgumentException](Catalog.build(spark, dup))
     assert(e.getMessage.contains("Duplicate band 'B02'"))
   }
@@ -35,6 +42,15 @@ class CatalogSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Catalog.build(spark, Seq("/data/nothing.txt")))
     assert(e.getMessage.contains("No file matching"))
+  }
+
+  test("sizeof_fmt matches the reference's format ladder (F12)") {
+    assert(Batching.sizeofFmt(0) == "0.0B")
+    assert(Batching.sizeofFmt(1023) == "1023.0B")
+    assert(Batching.sizeofFmt(1536) == "1.5KiB")
+    assert(Batching.sizeofFmt(3 * 1024.0 * 1024.0) == "3.0MiB")
+    assert(Batching.sizeofFmt(-2048) == "-2.0KiB")
+    assert(Batching.sizeofFmt(math.pow(1024.0, 8) * 2) == "2.0YiB")
   }
 
   test("Batching matches the reference doctests (utils.py:77-78,96-97)") {
