@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Stateful streaming operators for continuously-arriving crawl data
+ * (SURVEY.md §2.10 / builder mandate: Structured Streaming with
+ * watermarks and `flatMapGroupsWithState` custom state; the reference
+ * is batch-only — these are the streaming counterparts of its
+ * per-source grouping semantics).
+ *
+ * Both operators run UNCHANGED on a batch DataFrame/Dataset (Spark's
+ * unified API), which is how the specs pin batch/stream parity.
+ */
+object CrawlSessions {
+
+  case class PageEvent(host: String, ts: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(host: String, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long)
+
+  /**
+   * Gap-based sessionization per host: a session is a maximal run of
+   * events with inter-arrival < `gapMs`. Sessions closed by an
+   * in-batch gap emit immediately; the trailing (still-open) session
+   * emits when the event-time watermark passes `last + gapMs`
+   * (GroupStateTimeout.EventTimeTimeout) — state per host is ONE
+   * (start, last, n) triple, so memory is O(active hosts), not
+   * O(events): the 100 TB shape for clickstream/crawl sessionization.
+   */
+  def sessionize(events: Dataset[PageEvent], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(host: String, it: Iterator[PageEvent],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionOut(host, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.last), s.n))
+      } else {
+        val times = it.map(_.ts.getTime).toArray.sorted
+        var out = List.empty[SessionOut]
+        var (start, last, n) = state.getOption
+          .map(s => (s.start, s.last, s.n))
+          .getOrElse((times.head, times.head - gapMs - 1, 0L)) // first event opens fresh
+        times.foreach { t =>
+          if (t - last > gapMs && n > 0) {
+            out ::= SessionOut(host, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(last), n)
+            start = t; last = t; n = 1
+          } else {
+            if (n == 0) start = t
+            last = math.max(last, t); n += 1
+          }
+        }
+        state.update(SessionState(start, last, n))
+        // a timeout at-or-before the current watermark is rejected by
+        // Spark — clamp so a session whose gap already elapsed fires on
+        // the next microbatch instead of crashing the query
+        state.setTimeoutTimestamp(
+          math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
+        out.reverse.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming exact dedup of crawl pages: state keyed by content
+    * fingerprint, evicted once the watermark passes (bounded state —
+    * the streaming member of the dedup family). First occurrence wins;
+    * a duplicate arriving within the watermark window is dropped. */
+  def dedupPages(pages: DataFrame, textCol: String,
+                 watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+}

@@ -4,11 +4,58 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.TileStream
+import graft.streaming.{CrawlSessions, TileStream}
 
 class TileStreamSpec extends AnyFunSuite {
   lazy val spark = SparkSessionHelper.spark
   import spark.implicits._
+
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+
+  test("stateful sessionization: in-batch gaps close eagerly, tails on timeout") {
+    import CrawlSessions._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("host", "ts").as[PageEvent]
+    val gapMs = 10 * 60 * 1000L
+    val q = CrawlSessions.sessionize(events, gapMs, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    // host a: two sessions split by a 29-minute gap; host b: singleton
+    mem.addData(("a", t(0)), ("a", t(1)), ("a", t(30)), ("b", t(2)))
+    q.processAllAvailable()
+    // a far-future event advances the watermark -> trailing sessions fire
+    mem.addData(("z", t(300)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_stream").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3))).toSet
+    val want = Set(
+      ("a", T0, T0 + 60000L, 2L),                       // closed by in-batch gap
+      ("a", T0 + 30 * 60000L, T0 + 30 * 60000L, 1L),    // closed by timeout
+      ("b", T0 + 2 * 60000L, T0 + 2 * 60000L, 1L))      // closed by timeout
+    assert(got == want) // z's session is still open -> not emitted
+  }
+
+  test("streaming dedup: duplicate content within watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = CrawlSessions.dedupPages(pages, "text")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    mem.addData((1L, "alpha", t(0)), (2L, "beta", t(1)))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha", t(2)), (4L, "gamma", t(3))) // 3 is a dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L))
+  }
 
   test("streaming tile density == batch tile density on the same rows") {
     val rows = (0 until 300).map { i =>
