@@ -600,6 +600,15 @@ object SparkEntry {
     graft.vector.Ann.lshTopK(queries, corpus, 64, 3).orderBy("qid", "rank")
   }
 
+  /** IVF-bucketed ANN (coarse-quantizer scale path): nearest-centroid
+    * cells, 2-probe equi-join, exact re-rank within probed cells. */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantizedVectors(spark, dir)
+    val queries = corpus.filter(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    graft.vector.Ann.ivfTopK(queries, corpus, 64, 3).orderBy("qid", "rank")
+  }
+
   // ---- multimodal / lineage ------------------------------------------------
 
   /** Multimodal binary-column plumbing: length/digest/magic + fake
@@ -674,6 +683,7 @@ object SparkEntry {
     "q_embed_knn" -> (qEmbedKnn _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _),
     "q_lineage_resume" -> (qLineageResume _)
   )

@@ -112,25 +112,47 @@ object Calibrate {
   def calibrationPipeline(pairs: DataFrame, bandCol: String,
                           threshold: Double): DataFrame = {
     val p = pairs.cache()
-    val fit = linearFit(p, "x", "y", Seq(bandCol))
-    val withC = p
-      .join(broadcast(fit.select(col(bandCol), col("intercept"))), Seq(bandCol))
-      .withColumn("c", arrayCorrection(col("y"), col("intercept")))
-      .cache()
-    // pass 1: per-band extremes + exact raw sums
-    val stats = withC.groupBy(bandCol).agg(
+    // pass 1 — ONE fused per-band aggregate: the fit's six integer sums
+    // (linearFit's exact closed forms) PLUS the extremes and the raw
+    // |x-y| sum the mad stages need
+    val g = p.groupBy(col(bandCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"),
       sum(abs(col("x") - col("y"))).as("sad"),
       min("x").as("minx"), max("x").as("maxx"),
-      min("y").as("miny"), max("y").as("maxy"),
-      min("c").as("minc"), max("c").as("maxc"))
-    // pass 2: normalized |diff| numerators as exact integer sums
+      min("y").as("miny"), max("y").as("maxy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val cov = n * col("sxy") - sx * sy
+    val varx = n * col("sxx") - sx * sx
+    val vary = n * col("syy") - sy * sy
+    val slopeE = try_divide(cov.cast("double"), varx.cast("double"))
+    val fit = g.select(col(bandCol), n, slopeE.as("slope"),
+      ((sy.cast("double") - slopeE * sx.cast("double")) / n.cast("double")).as("intercept"),
+      try_divide((cov * cov).cast("double"), (varx * vary).cast("double")).as("r2"),
+      col("sad"), col("minx"), col("maxx"), col("miny"), col("maxy"))
+    // pass 2: corrected values + per-band corrected extremes; the
+    // normalized |diff| numerators for the UNCORRECTED side are exact
+    // integer sums computable in the same pass
+    val withC = p
+      .join(broadcast(fit), Seq(bandCol))
+      .withColumn("c", arrayCorrection(col("y"), col("intercept")))
+      .cache()
+    val stats = withC.groupBy(bandCol).agg(
+      min("c").as("minc"), max("c").as("maxc"),
+      sum(abs((col("x") - col("minx")) * (col("maxy") - col("miny")) -
+        (col("y") - col("miny")) * (col("maxx") - col("minx")))).as("snum"))
+    // pass 3 (corrected-side numerators need minc/maxc) runs over the
+    // CACHED corrected relation only
+    val nums = withC.join(broadcast(stats.select(col(bandCol), col("minc"), col("maxc"))),
+        Seq(bandCol))
+      .groupBy(bandCol).agg(
+        sum(abs((col("x") - col("minx")) * (col("maxc") - col("minc")) -
+          (col("c") - col("minc")) * (col("maxx") - col("minx")))).as("snumc"))
     val dxy = (col("maxx") - col("minx")) * (col("maxy") - col("miny"))
     val dxc = (col("maxx") - col("minx")) * (col("maxc") - col("minc"))
-    val nums = withC.join(broadcast(stats), Seq(bandCol)).groupBy(bandCol).agg(
-      sum(abs((col("x") - col("minx")) * (col("maxy") - col("miny")) -
-        (col("y") - col("miny")) * (col("maxx") - col("minx")))).as("snum"),
-      sum(abs((col("x") - col("minx")) * (col("maxc") - col("minc")) -
-        (col("c") - col("minc")) * (col("maxx") - col("minx")))).as("snumc"))
     val mad = try_divide(col("snum").cast("double"),
       (col("n") * dxy).cast("double"))
     val madCorr = try_divide(col("snumc").cast("double"),

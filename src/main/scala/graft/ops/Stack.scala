@@ -19,15 +19,16 @@ object Stack {
 
   /** Assert all inputs carry cells of the same resolution (the
     * __check_for_crs/dimensions/resolution parity, raster.py:621-644).
-    * Cheap: inspects one row per input. */
+    * Cheap: one row per input, sampled through a SINGLE Spark job (the
+    * per-band limit(1).collect() of round 1 dispatched one eager job
+    * per band at plan-build time). */
   def checkGrid(bands: Seq[DataFrame]): Int = {
-    val reses = bands.map { df =>
-      val first = df.select("cell").limit(1).collect()
-      if (first.isEmpty) -1 else CellIndex.resolution(first(0).getLong(0))
-    }
-    val present = reses.filter(_ >= 0).distinct
-    require(present.size <= 1,
-      s"stack items on different grids: resolutions $present")
+    val sampled = bands.map(_.select(col("cell")).limit(1))
+      .reduce(_ unionAll _)
+      .collect()
+    val present = sampled.map(r => CellIndex.resolution(r.getLong(0))).distinct
+    require(present.length <= 1,
+      s"stack items on different grids: resolutions ${present.toSeq}")
     if (present.isEmpty) -1 else present.head
   }
 

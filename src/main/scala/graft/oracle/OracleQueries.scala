@@ -503,6 +503,43 @@ object OracleQueries {
       s"(CASE WHEN ${dotQSql(w, vcol)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  // ---- IVF oracle fragments (Ann.ivf* parity) ----------------------------
+
+  private def ivfScoreSql(c: Int, vcol: String): String = {
+    val arr = graft.vector.Ann.centroidArray(c, 64)
+    val n2 = arr.map(w => w * w).sum
+    s"($n2 - 2 * ${dotQSql(arr.mkString("[", ", ", "]"), vcol)})"
+  }
+
+  /** CTE chain: src(idCol, vcol) -> out(idCol, vcol, cid[, cid2]). */
+  private def ivfAssignSql(src: String, idCol: String, vcol: String,
+                           out: String, withSecond: Boolean): String = {
+    val n = graft.vector.Ann.NumCentroids
+    val scores = (0 until n).map(c => s"${ivfScoreSql(c, vcol)} AS s$c")
+      .mkString(",\n  ")
+    val sCols = (0 until n).map(c => s"s$c").mkString(", ")
+    val firstMatch = (0 until n)
+      .map(c => s"WHEN s$c = m THEN $c").mkString("CASE ", " ", " END")
+    val base =
+      s"""${out}_s AS (SELECT $idCol, $vcol, $scores FROM $src),
+         |${out}_m AS (SELECT *, least($sCols) AS m FROM ${out}_s),
+         |${out}_1 AS (SELECT *, $firstMatch AS cid FROM ${out}_m)""".stripMargin
+    if (!withSecond) base + s",\n$out AS (SELECT $idCol, $vcol, cid FROM ${out}_1)"
+    else {
+      val masked = (0 until n)
+        .map(c => s"CASE WHEN cid = $c THEN 9223372036854775807 ELSE s$c END AS t$c")
+        .mkString(",\n  ")
+      val tCols = (0 until n).map(c => s"t$c").mkString(", ")
+      val secondMatch = (0 until n)
+        .map(c => s"WHEN t$c = m2 THEN $c").mkString("CASE ", " ", " END")
+      base +
+        s""",
+           |${out}_2 AS (SELECT *, $masked FROM ${out}_1),
+           |${out}_3 AS (SELECT *, least($tCols) AS m2 FROM ${out}_2),
+           |$out AS (SELECT $idCol, $vcol, cid, $secondMatch AS cid2 FROM ${out}_3)""".stripMargin
+    }
+  }
+
   private val textVec: Map[String, String] = Map(
     "q_extract_text" ->
       s"""WITH $pagesCte
@@ -607,6 +644,18 @@ object OracleQueries {
          |qs AS (SELECT qid, qv, CAST(${lshSigSql("qv")} AS BIGINT) AS sig FROM qv0),
          |d AS (SELECT qid, id, ${cosineQSql("qv", "v")} AS cos
          |  FROM qs JOIN cs ON qs.sig = cs.sig),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+         |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |qv0 AS (SELECT id AS qid, v AS qv FROM cv WHERE id % 50 = 0),
+         |${ivfAssignSql("cv", "id", "v", "cs", withSecond = false)},
+         |${ivfAssignSql("qv0", "qid", "qv", "qs", withSecond = true)},
+         |qp AS (SELECT qid, qv, unnest([cid, cid2]) AS pcid FROM qs),
+         |d AS (SELECT qid, id, ${cosineQSql("qv", "v")} AS cos
+         |  FROM qp JOIN cs ON qp.pcid = cs.cid),
          |r AS (SELECT qid, id, cos,
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
          |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,

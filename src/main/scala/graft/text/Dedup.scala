@@ -131,8 +131,10 @@ object Dedup {
     val shAll = docShinglesAll(df, idCol, textCol, k)
     val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
     val cand = candidates(bnd).cache()
+    // no distinct: a semi-join right side tolerates duplicates, and the
+    // distinct would cost one more (tiny but scheduled) shuffle
     val candIds = cand.select(col("id_a").as("id"))
-      .union(cand.select(col("id_b").as("id"))).distinct()
+      .union(cand.select(col("id_b").as("id")))
     // candidate docs << corpus by LSH design -> broadcast the id set;
     // drop the hint if a pathological corpus makes it exceed the
     // broadcast threshold (the semi-join stays correct either way)

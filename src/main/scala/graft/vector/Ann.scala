@@ -94,6 +94,77 @@ object Ann {
       .filter(col("cos") >= threshold)
   }
 
+  // ---- IVF (coarse-quantizer) ANN ----------------------------------------
+
+  /** Fixed integer centroid table (LCG of (centroid, dim)) — single
+    * source of truth for the Spark plan AND the generated oracle SQL,
+    * exactly like the LSH planes. A fixed codebook stands in for the
+    * k-means training step (which is offline in real IVF systems); the
+    * SEARCH path — assign, probe, exact re-rank — is the part with a
+    * distributed shape worth verifying. */
+  val NumCentroids = 16
+  val NumProbes = 2
+  def centroidWeight(c: Int, i: Int): Long =
+    ((1103515245L * (c * 64 + i) + 54321L) % 12001L) - 6000L
+  def centroidArray(c: Int, dim: Int): Seq[Long] =
+    (0 until dim).map(i => centroidWeight(c, i))
+
+  /** Exact integer assignment score for centroid c:
+    * |c|^2 - 2 c.v  (the |v|^2 term is row-constant and drops out of
+    * the argmin). */
+  private def ivfScore(c: Int, v: Column, dim: Int): Column = {
+    val arr = centroidArray(c, dim)
+    val norm2 = arr.map(w => w * w).sum
+    lit(norm2) - lit(2L) * dotQ(array(arr.map(lit): _*), v)
+  }
+
+  /** Nearest-centroid id (ties -> smaller id): least() over the 16
+    * scores + a first-match CASE chain — the same closed form the
+    * DuckDB oracle re-derives, so assignments match bit-for-bit. */
+  def ivfCell(v: Column, dim: Int): Column = {
+    val scores = (0 until NumCentroids).map(c => ivfScore(c, v, dim))
+    val m = least(scores: _*)
+    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), e) =>
+      when(s === m, lit(c)).otherwise(e)
+    }
+  }
+
+  /** Second-nearest centroid id: mask the winner's score to MaxValue,
+    * argmin again. */
+  def ivfCell2(v: Column, dim: Int, cid1: Column): Column = {
+    val scores = (0 until NumCentroids).map { c =>
+      when(cid1 === c, lit(Long.MaxValue)).otherwise(ivfScore(c, v, dim))
+    }
+    val m = least(scores: _*)
+    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), e) =>
+      when(s === m, lit(c)).otherwise(e)
+    }
+  }
+
+  /** IVF-bucketed ANN (the coarse-quantizer scale path, complementing
+    * lshTopK): corpus rows are assigned to their nearest centroid cell;
+    * each query probes its `NumProbes` nearest cells via a cell
+    * EQUI-JOIN (1/8th of the corpus scanned per query at 16 cells /
+    * 2 probes — no cross product), then exact cosine re-ranks within
+    * the probed cells through the two-phase top-k. Deterministic
+    * contract: exact top-k among vectors in the probed cells. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+              k: Int): DataFrame = {
+    val c = corpus.withColumn("cid", ivfCell(col("v"), dim))
+      .withColumn("n2", dotQ(col("v"), col("v")))
+    val q0 = queries.withColumn("cid1", ivfCell(col("qv"), dim))
+    val q = q0.withColumn("cid2", ivfCell2(col("qv"), dim, col("cid1")))
+      .withColumn("qn2", dotQ(col("qv"), col("qv")))
+      .withColumn("cid", explode(array(col("cid1"), col("cid2"))))
+      .drop("cid1", "cid2")
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .select(col("qid"), col("id"),
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
+          .as("cos"))
+    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
+      ascending = false)
+  }
+
   /** LSH-bucketed ANN: candidates share the full signature bucket; each
     * query returns its exact top-k within the bucket (a recall-bounded
     * approximation of cosineTopK — the deterministic contract is

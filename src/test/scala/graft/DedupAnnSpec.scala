@@ -160,6 +160,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(0) == run(1000)) // 0 forces the semi/anti-join formulation
   }
 
+  test("ivfTopK == driver-side mirror (assign -> 2-probe -> exact top-k)") {
+    val q = vecs.filter($"id" < 5)
+      .select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val got = Ann.ivfTopK(q, c, 64, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val qv = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(f => (f.toDouble * 10000.0).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    def score(cid: Int, v: Array[Long]): Long = {
+      val w = Ann.centroidArray(cid, 64).toArray
+      w.map(x => x * x).sum - 2L * dot(w, v)
+    }
+    def cell(v: Array[Long], exclude: Int = -1): Int =
+      (0 until Ann.NumCentroids).filter(_ != exclude)
+        .minBy(cid => (score(cid, v), cid))
+    val cells = qv.map { case (id, v) => id -> cell(v) }
+    for (qid <- 0L until 5L) {
+      val probes = Set(cell(qv(qid)), cell(qv(qid), exclude = cell(qv(qid))))
+      val cands = qv.keys.filter(id => probes.contains(cells(id)))
+      val expect = cands.map(id => (id, cos(qv(qid), qv(id)))).toSeq
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      val mine = got.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4))
+      assert(mine.toSeq == expect, s"qid=$qid")
+      assert(mine.head._1 == qid) // self lives in its own cell -> rank 1
+    }
+  }
+
   test("lsh top-k returns each query itself at rank 1 (same bucket)") {
     val q = vecs.select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
