@@ -185,16 +185,40 @@ object Dedup {
     val sh = docShingles(df, idCol, textCol, k).cache()
     maxDf match {
       case Some(cap) =>
-        val rare = sh.join(
-          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .filter(col("df") <= cap).select("shingle"),
+        // candidates AND their rare-intersection sizes come from ONE
+        // aggregation over the rare-shingle self-join (no pair-distinct
+        // pass); the hot shingles' contribution to |A∩B| is added back
+        // by joining the (small) hot occurrence rows against the
+        // candidate pairs only — the full-set Jaccard stays exact while
+        // nothing quadratic ever touches a hot shingle
+        val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val rare = sh.join(dfRel.filter(col("df") <= cap).select("shingle"),
+          Seq("shingle"), "left_semi")
+        val hot = sh.join(dfRel.filter(col("df") > cap).select("shingle"),
           Seq("shingle"), "left_semi")
         val a = rare.alias("a"); val b = rare.alias("b")
-        val cand = a.join(b, col("a.shingle") === col("b.shingle") &&
+        val commonRare = a.join(b, col("a.shingle") === col("b.shingle") &&
             col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-        jaccard(cand, sh).filter(col("jaccard") >= threshold)
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("common_rare"))
+        val commonHot = commonRare.select("id_a", "id_b")
+          .join(hot.select(col("id").as("id_a"), col("shingle")), Seq("id_a"))
+          .join(hot.select(col("id").as("id_b"), col("shingle")),
+            Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("common_hot"))
+        val common = commonRare
+          .join(commonHot, Seq("id_a", "id_b"), "left_outer")
+          .select(col("id_a"), col("id_b"),
+            (col("common_rare") + coalesce(col("common_hot"), lit(0L)))
+              .as("common"))
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+        common
+          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+          .withColumn("jaccard",
+            col("common").cast("double") /
+              (col("n_a") + col("n_b") - col("common")).cast("double"))
+          .filter(col("jaccard") >= threshold)
       case None =>
         // The inverted-index self-join ALREADY enumerates one row per
         // shared shingle per pair — aggregate it straight into the

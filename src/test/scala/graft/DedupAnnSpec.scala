@@ -76,6 +76,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(j.getAs[Double]("jaccard") == 5.0 / 7.0)
   }
 
+  test("ngram df-cap: rare-only candidates, exact full-set jaccard values") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    val un = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 0.3))
+    // cap above every df: candidate set and values identical to exact
+    val cap10 = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 0.3,
+      maxDf = Some(10)))
+    assert(cap10 == un && un.nonEmpty)
+    // cap 1: every SHARED shingle has df >= 2 -> zero candidates (the
+    // documented recall trade at hot shingles)
+    val cap1 = rows(Dedup.ngramJaccard(docs, "doc_id", "text", 0.3,
+      maxDf = Some(1)))
+    assert(cap1.isEmpty)
+  }
+
   val vecs = (0L until 20L).map { i =>
     val rnd = new scala.util.Random(i)
     (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))

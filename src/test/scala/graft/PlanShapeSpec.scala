@@ -32,11 +32,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "no map-side partial aggregate below the shuffle")
   }
 
+  test("ivf probe is an equi-join on the centroid cell (broadcast queries)") {
+    val p = plan("q_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"ivf path degenerated to a cross product:\n$p")
+  }
+
   test("vector top-k is two-phase: no unbounded per-query window sort") {
     // the scale contract (VERDICT r1 #1): no Window node may sit above a
     // full corpus scan — top-k must be the bounded-heap aggregate with a
     // partial stage below the exchange
-    for (q <- Seq("q_embed_knn", "q_ann_lsh")) {
+    for (q <- Seq("q_embed_knn", "q_ann_lsh", "q_ann_ivf")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: global window above corpus scan:\n$p")
       val firstAgg = p.indexOf("ObjectHashAggregate")
