@@ -448,10 +448,13 @@ object SparkEntry {
     val raster = Pages.geoPages(spark, dir, JoinRes)
       .groupBy("cell")
       .agg(count(lit(1)).as("b1"), sum("n_chars").as("b2"))
+    // cached: addClass's stats collect plus both sides of the final
+    // histogram join would otherwise re-run the extract three times
     val xy = Extract.extract(points, raster, JoinRes, Seq("b1", "b2"))
       .select(col("b1"), col("b2"),
         col("c_mktsegment").as("classname"),
         ascii(substring(col("c_mktsegment"), 1, 1)).cast("long").as("label_id"))
+      .cache()
     val added = Extract.addClass(xy, Seq("b1", "b2"), lit(9999L), "masked")
     val cleaned = Extract.removeClass(added, 70L) // FURNITURE
     Extract.labelHistogram(cleaned)

@@ -307,6 +307,68 @@ object veckernels {
   }
 }
 
+/**
+ * ivf_cells(v): nearest and second-nearest IVF centroid of a quantized
+ * vector, packed as (cid1 << 8) | cid2 — ONE kernel loop over a
+ * reference-object centroid matrix. The Column-combinator formulation
+ * (least() over 16 scores + first-match CASE chains, each re-inlining a
+ * 64-literal dot product) blows janino's 64KB method limit and silently
+ * drops the whole stage to interpreted mode — the exact round-1
+ * CellInRanges failure shape, same fix.
+ *
+ * Argmin semantics (bit-matched by the oracle's least+CASE SQL):
+ * score_c = |c|^2 - 2 c.v (exact Long), ties -> smaller centroid id;
+ * cid2 = argmin over the rest, same tie rule.
+ */
+object ivfkernel {
+  def cells(v: org.apache.spark.sql.catalyst.util.ArrayData,
+            cents: Array[Array[Long]], norms: Array[Long]): Int = {
+    var best = -1; var bestS = Long.MaxValue
+    var second = -1; var secondS = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val w = cents(c)
+      val n = math.min(w.length, v.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += w(i) * v.getLong(i); i += 1 }
+      val score = norms(c) - 2L * s
+      if (score < bestS) {
+        second = best; secondS = bestS
+        best = c; bestS = score
+      } else if (score < secondS) {
+        second = c; secondS = score
+      }
+      c += 1
+    }
+    (best << 8) | second
+  }
+}
+
+case class IvfCells(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cells"
+  @transient private lazy val cents: Array[Array[Long]] =
+    (0 until graft.vector.Ann.NumCentroids)
+      .map(c => graft.vector.Ann.centroidArray(c, dim).toArray).toArray
+  @transient private lazy val norms: Array[Long] =
+    cents.map(_.map(x => x * x).sum)
+  protected override def nullSafeEval(v: Any): Any =
+    ivfkernel.cells(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "long[][]")
+    val nRef = ctx.addReferenceObj("ivfNorms", norms, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ivfkernel.cells($v, $cRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCells =
+    copy(child = c)
+}
+
 /** quantize_q(v): float array -> trunc(x * 10000) long array (Ann
   * quantization; one loop/row instead of a per-element HOF). */
 case class QuantizeQ(child: Expression) extends UnaryExpression with ExpectsInputTypes {

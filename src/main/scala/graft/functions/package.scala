@@ -73,6 +73,10 @@ package object functions {
   /** Quantize a float-array column to long (trunc(x * 10000)). */
   def quantize_q(v: Column): Column = toCol(QuantizeQ(toExpr(v)))
 
+  /** Nearest + second-nearest IVF centroid, packed (cid1 << 8) | cid2
+    * (one kernel loop; see IvfCells). */
+  def ivf_cells(v: Column, dim: Int): Column = toCol(IvfCells(toExpr(v), dim))
+
   /** Fused float32 normalized difference (numpy parity, raster.py:544+). */
   def norm_diff(a: Column, b: Column): Column =
     toCol(NormDiff(toExpr(a.cast("float")), toExpr(b.cast("float"))))

@@ -109,37 +109,18 @@ object Ann {
   def centroidArray(c: Int, dim: Int): Seq[Long] =
     (0 until dim).map(i => centroidWeight(c, i))
 
-  /** Exact integer assignment score for centroid c:
-    * |c|^2 - 2 c.v  (the |v|^2 term is row-constant and drops out of
-    * the argmin). */
-  private def ivfScore(c: Int, v: Column, dim: Int): Column = {
-    val arr = centroidArray(c, dim)
-    val norm2 = arr.map(w => w * w).sum
-    lit(norm2) - lit(2L) * dotQ(array(arr.map(lit): _*), v)
-  }
+  /** Nearest-centroid cell of a quantized vector: score_c = |c|^2 −
+    * 2 c·v (the |v|^2 term is row-constant and drops out of the
+    * argmin), ties -> smaller id. One codegen'd kernel loop per row
+    * (graft.functions.IvfCells) — a least()+CASE Column formulation
+    * re-inlines the 64-literal dot product per branch and trips
+    * janino's 64KB limit into interpreted mode. */
+  def ivfCell(v: Column, dim: Int): Column =
+    shiftright(graft.functions.ivf_cells(v, dim), 8)
 
-  /** Nearest-centroid id (ties -> smaller id): least() over the 16
-    * scores + a first-match CASE chain — the same closed form the
-    * DuckDB oracle re-derives, so assignments match bit-for-bit. */
-  def ivfCell(v: Column, dim: Int): Column = {
-    val scores = (0 until NumCentroids).map(c => ivfScore(c, v, dim))
-    val m = least(scores: _*)
-    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), e) =>
-      when(s === m, lit(c)).otherwise(e)
-    }
-  }
-
-  /** Second-nearest centroid id: mask the winner's score to MaxValue,
-    * argmin again. */
-  def ivfCell2(v: Column, dim: Int, cid1: Column): Column = {
-    val scores = (0 until NumCentroids).map { c =>
-      when(cid1 === c, lit(Long.MaxValue)).otherwise(ivfScore(c, v, dim))
-    }
-    val m = least(scores: _*)
-    scores.zipWithIndex.foldRight(lit(-1)) { case ((s, c), e) =>
-      when(s === m, lit(c)).otherwise(e)
-    }
-  }
+  /** Nearest + second-nearest as one packed int (cid1 << 8 | cid2). */
+  def ivfCells(v: Column, dim: Int): Column =
+    graft.functions.ivf_cells(v, dim)
 
   /** IVF-bucketed ANN (the coarse-quantizer scale path, complementing
     * lshTopK): corpus rows are assigned to their nearest centroid cell;
@@ -152,11 +133,12 @@ object Ann {
               k: Int): DataFrame = {
     val c = corpus.withColumn("cid", ivfCell(col("v"), dim))
       .withColumn("n2", dotQ(col("v"), col("v")))
-    val q0 = queries.withColumn("cid1", ivfCell(col("qv"), dim))
-    val q = q0.withColumn("cid2", ivfCell2(col("qv"), dim, col("cid1")))
+    val q = queries.withColumn("packed", ivfCells(col("qv"), dim))
       .withColumn("qn2", dotQ(col("qv"), col("qv")))
-      .withColumn("cid", explode(array(col("cid1"), col("cid2"))))
-      .drop("cid1", "cid2")
+      .withColumn("cid", explode(array(
+        shiftright(col("packed"), 8),
+        col("packed").bitwiseAND(lit(255)))))
+      .drop("packed")
     val scored = c.join(broadcast(q), Seq("cid"))
       .select(col("qid"), col("id"),
         cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
