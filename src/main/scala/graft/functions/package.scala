@@ -88,25 +88,51 @@ package object functions {
     toCol(TopKByScore(toExpr(score), toExpr(id), k, ascending)
       .toAggregateExpression())
 
-  /** Register the scalar functions for SQL use. */
+  /** The SQL-visible function surface: name -> expression builder.
+    * Single source of truth for session-time registration
+    * (registerAll) and build-time injection (GraftExtensions). */
+  private val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "geotag_lon" -> (e => GeotagLon(e.head)),
+    "geotag_lat" -> (e => GeotagLat(e.head)),
+    "cell_of" -> (e => CellOf(e(0), e(1), e(2))),
+    "cell_parent" -> (e => CellParent(e(0), e(1))),
+    "cell_children" -> (e => CellChildren(e.head)),
+    "cell_disk" -> (e => CellDisk(e(0), e(1))),
+    "cell_ring" -> (e => CellRing(e(0), e(1))),
+    "cell_center_lon" -> (e => CellCenterLon(e.head)),
+    "cell_center_lat" -> (e => CellCenterLat(e.head)),
+    "cell_x" -> (e => CellX(e.head)),
+    "cell_y" -> (e => CellY(e.head)),
+    "norm_diff" -> (e => NormDiff(e(0), e(1))),
+    "simhash60" -> (e => SimHash60(e.head)),
+    "geotag_cell" -> (e => GeotagCell(e(0), e(1))),
+    "shingles_k" -> (e => ShinglesK(e(0), e(1))),
+    "md5_words" -> (e => Md5Words(e.head)),
+    "doc_fingerprint" -> (e => DocFingerprint(e.head)),
+    "lang_scores" -> (e => LangScores(e.head)),
+    "dot_q" -> (e => DotQ(e(0), e(1))),
+    "quantize_q" -> (e => QuantizeQ(e.head)),
+    // dim must be a foldable literal (it sizes the centroid table)
+    "ivf_cells" -> (e => IvfCells(e(0),
+      e(1).eval().asInstanceOf[Number].intValue))
+  )
+
+  /** Register the scalar functions on an existing session. */
   def registerAll(spark: SparkSession): Unit = {
     import org.apache.spark.sql.graft.Bridge.register
-    register(spark, "geotag_lon", e => GeotagLon(e.head))
-    register(spark, "geotag_lat", e => GeotagLat(e.head))
-    register(spark, "cell_of", e => CellOf(e(0), e(1), e(2)))
-    register(spark, "cell_parent", e => CellParent(e(0), e(1)))
-    register(spark, "cell_children", e => CellChildren(e.head))
-    register(spark, "cell_disk", e => CellDisk(e(0), e(1)))
-    register(spark, "cell_ring", e => CellRing(e(0), e(1)))
-    register(spark, "cell_center_lon", e => CellCenterLon(e.head))
-    register(spark, "cell_center_lat", e => CellCenterLat(e.head))
-    register(spark, "cell_x", e => CellX(e.head))
-    register(spark, "cell_y", e => CellY(e.head))
-    register(spark, "norm_diff", e => NormDiff(e(0), e(1)))
-    register(spark, "simhash60", e => SimHash60(e.head))
-    register(spark, "geotag_cell", e => GeotagCell(e(0), e(1)))
-    register(spark, "shingles_k", e => ShinglesK(e(0), e(1)))
-    register(spark, "md5_words", e => Md5Words(e.head))
-    register(spark, "doc_fingerprint", e => DocFingerprint(e.head))
+    builders.foreach { case (name, b) => register(spark, name, b) }
   }
+
+  /** Inject the same surface at session BUILD time
+    * (spark.sql.extensions=graft.GraftExtensions). */
+  def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name),
+        b))
+    }
 }

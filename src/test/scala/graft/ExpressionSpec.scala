@@ -118,6 +118,28 @@ class ExpressionSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT cell_parent(cell_of(10.0D, 45.0D, 12), 6) AS p").collect()(0)
     assert(r.getLong(0) == CellIndex.parent(CellIndex.encode(10.0, 45.0, 12), 6))
+    val iv = spark.sql(
+      "SELECT ivf_cells(quantize_q(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT))), 2) AS p")
+      .collect()(0).getInt(0)
+    assert((iv >> 8) >= 0 && (iv >> 8) < graft.vector.Ann.NumCentroids &&
+      (iv & 255) != (iv >> 8))
+  }
+
+  test("GraftExtensions injects the surface at session build time") {
+    // a fresh session over the SAME context picks up the extensions
+    // (the spark.sql.extensions deployment path)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql("SELECT cell_of(10.0D, 20.0D, 8) AS c").collect()(0)
+      assert(r.getLong(0) == CellIndex.encode(10.0, 20.0, 8))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
   }
 
   test("plan stays in whole-stage codegen (no UDF fallback)") {
