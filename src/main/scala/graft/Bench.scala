@@ -109,7 +109,10 @@ object Bench {
     // legs. Soft deadline keeps the whole run inside the driver's
     // timeout when the box is badly loaded (>= 1 round always runs).
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE", "360").toInt
-    val rounds = (0 until 3).flatMap { i =>
+    // 4 rounds when the deadline allows: per-leg minima converge on the
+    // unloaded machine as rounds accumulate (shared-box load varies on
+    // the minutes scale), and the soft deadline still caps wall time
+    val rounds = (0 until 4).flatMap { i =>
       if (i > 0 && (System.nanoTime() - startedAt) / 1e9 > deadlineSec) None
       else Some((leg(8, warm = i == 0), leg(32, warm = i == 0)))
     }

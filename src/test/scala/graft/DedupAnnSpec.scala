@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.text.{Dedup, TextOps}
 import graft.vector.Ann
 
-class DedupAnnSpec extends AnyFunSuite {
+class DedupAnnSpec extends AnyFunSuite with PropHelper {
   lazy val spark = SparkSessionHelper.spark
   import spark.implicits._
 
@@ -160,6 +160,40 @@ class DedupAnnSpec extends AnyFunSuite {
       }.sortBy(t => (t._1, t._2))
       assert(got.toSeq == expect, s"ascending=$asc")
     }
+  }
+
+  test("TopKBuffer property: any inserts+merges == sort-take reference") {
+    import org.scalacheck.{Gen, Prop}
+    val entry = for {
+      s <- Gen.chooseNum(-5.0, 5.0)
+      nul <- Gen.prob(0.1)
+      id <- Gen.chooseNum(0L, 40L)
+    } yield (s, nul, id)
+    checkProp(Prop.forAll(Gen.listOf(entry), Gen.chooseNum(1, 8),
+        Gen.oneOf(true, false), Gen.chooseNum(1, 4)) {
+      (rows: List[(Double, Boolean, Long)], k: Int, asc: Boolean, splits: Int) =>
+      // distinct ids (the operator contract: id is a row id)
+      val uniq = rows.groupBy(_._3).map(_._2.head).toSeq
+      // scatter across `splits` partial buffers, then merge — models the
+      // map-side partial + reduce-side merge path
+      val parts = uniq.zipWithIndex.groupMap(_._2 % splits)(_._1)
+      val bufs = (0 until splits).map { p =>
+        val b = new graft.functions.TopKBuffer(k, asc)
+        parts.getOrElse(p, Seq.empty).foreach { case (s, n, id) => b.insert(s, n, id) }
+        b
+      }
+      val target = new graft.functions.TopKBuffer(k, asc)
+      bufs.foreach(_.mergeInto(target))
+      val got = target.sorted().toSeq.map { r =>
+        val row = r.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+        (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getDouble(1)))
+      }
+      val want = uniq.sortBy { case (s, n, id) =>
+        // nulls last in both directions; ties -> smaller id
+        (if (n) 1 else 0, if (n) 0.0 else (if (asc) s else -s), id)
+      }.take(k).map { case (s, n, id) => (id, if (n) None else Some(s)) }
+      got == want
+    })
   }
 
   test("knn relational bookkeeping path == driver IN-list path") {
