@@ -41,6 +41,9 @@ object Profile {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     }
     t("ngram-full")(ngramJaccard(corpus, "doc_id", "text", 0.3))
+    t("ngram-capped")(ngramJaccard(corpus, "doc_id", "text", 0.3,
+      maxDf = Some(NgramMaxDf)))
+    spark.catalog.clearCache()
     t("clip_poly")(SparkEntry.qClipPoly(spark, sfDir))
     t("clip_poly(2nd)")(SparkEntry.qClipPoly(spark, sfDir))
     t("knn")(SparkEntry.qKnn(spark, sfDir))

@@ -191,11 +191,13 @@ object Dedup {
         // by joining the (small) hot occurrence rows against the
         // candidate pairs only — the full-set Jaccard stays exact while
         // nothing quadratic ever touches a hot shingle
+        // tag every occurrence with its shingle's document frequency in
+        // ONE join (two separate semi-joins would compute the df
+        // aggregate twice), then split rare/hot by filter
         val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val rare = sh.join(dfRel.filter(col("df") <= cap).select("shingle"),
-          Seq("shingle"), "left_semi")
-        val hot = sh.join(dfRel.filter(col("df") > cap).select("shingle"),
-          Seq("shingle"), "left_semi")
+        val withDf = sh.join(dfRel, Seq("shingle")).cache()
+        val rare = withDf.filter(col("df") <= cap).drop("df")
+        val hot = withDf.filter(col("df") > cap).drop("df")
         val a = rare.alias("a"); val b = rare.alias("b")
         val commonRare = a.join(b, col("a.shingle") === col("b.shingle") &&
             col("a.id") < col("b.id"))
