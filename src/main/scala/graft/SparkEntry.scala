@@ -71,6 +71,14 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Gap sessionization over the events stream table (batch lag/cumsum
+    * twin of streaming.CrawlSessions.sessionize; 30-min gap). */
+  def qSessions(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.CrawlSessions.sessionizeBatch(
+        Pages.table(spark, dir, "events"), "user_id", "ts", "event_id",
+        gapUs = 30L * 60 * 1000000)
+      .orderBy("user_id", "sid")
+
   /** Event-time tumbling window agg (batch form; §2.10 note). */
   def qEventsHourly(spark: SparkSession, dir: String): DataFrame =
     Pages.table(spark, dir, "events")
@@ -640,6 +648,7 @@ object SparkEntry {
     "q_tpch_agg" -> (qTpchAgg _),
     "q_tpch_join" -> (qTpchJoin _),
     "q_events_hourly" -> (qEventsHourly _),
+    "q_sessions" -> (qSessions _),
     "q_geotag" -> (qGeotag _),
     "q_tile_density" -> (qTileDensity _),
     "q_mask_fill" -> (qMaskFill _),

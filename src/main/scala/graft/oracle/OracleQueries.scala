@@ -40,6 +40,21 @@ object OracleQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_sessions" -> {
+      val gapUs = 30L * 60 * 1000000
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT *, lag(ts_us) OVER
+         |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e),
+         |f AS (SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > $gapUs
+         |    THEN 1 ELSE 0 END AS nf FROM l),
+         |s AS (SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM f)
+         |SELECT user_id, sid, min(ts_us) AS session_start_us,
+         |  max(ts_us) AS session_end_us, count(*) AS n_events
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "q_geotag" ->
       s"""${geoPrefix(Res)}
          |SELECT doc_id, url, lon, lat, cell FROM enc ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -11,8 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * is batch-only — these are the streaming counterparts of its
  * per-source grouping semantics).
  *
- * Both operators run UNCHANGED on a batch DataFrame/Dataset (Spark's
- * unified API), which is how the specs pin batch/stream parity.
+ * Parity note: `sessionize` is the STREAMING formulation (in batch mode
+ * flatMapGroupsWithState never fires timeouts, so trailing open
+ * sessions would be dropped) — its batch twin is [[sessionizeBatch]]
+ * (window lag/cumsum), and the spec proves the two emit identical
+ * sessions on the same rows. `dedupPages` runs unchanged on batch
+ * frames (withWatermark is a batch no-op).
  */
 object CrawlSessions {
 
@@ -72,6 +77,38 @@ object CrawlSessions {
       .groupByKey(_.host)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /**
+   * Batch sessionization twin (the relational lag/cumsum formulation a
+   * SQL engine can replay — the oracle gate): a session starts where
+   * the previous event of the same key is more than `gapUs` earlier
+   * (or absent); session id = running count of starts. The per-key
+   * window is the inherent shape of sessionization — key cardinality
+   * (users/hosts) is the parallelism, and no key's history crosses
+   * partitions. Emits (key, sid, session_start_us, session_end_us,
+   * n_events); timestamps as exact epoch MICROS Longs (a seconds cast
+   * truncates sub-second gaps differently across engines).
+   */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+                      idCol: String, gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy("ts_us", idCol)
+    val run = Window.partitionBy(keyCol).orderBy("ts_us", idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      // NTZ parquet timestamps cast through LTZ under the engine's UTC
+      // session zone — epoch micros then equals DuckDB's epoch_us on
+      // the same naive value
+      .withColumn("ts_us", unix_micros(col(tsCol).cast("timestamp_ltz")))
+      .withColumn("prev", lag("ts_us", 1).over(w))
+      .withColumn("nf",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("nf").over(run))
+      .groupBy(col(keyCol), col("sid"))
+      .agg(min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
   }
 
   /** Streaming exact dedup of crawl pages: state keyed by content

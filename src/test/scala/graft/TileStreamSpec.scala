@@ -39,6 +39,38 @@ class TileStreamSpec extends AnyFunSuite {
     assert(got == want) // z's session is still open -> not emitted
   }
 
+  test("streaming sessionize == batch lag/cumsum twin on the same rows") {
+    import CrawlSessions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    // pseudo-random event times: several hosts, mixed gaps
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map { i =>
+      (s"h${rnd.nextInt(5)}", t(rnd.nextInt(600)))
+    }.distinct
+    val gapMs = 25 * 60 * 1000L
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = CrawlSessions.sessionize(
+        mem.toDF().toDF("host", "ts").as[PageEvent], gapMs, "1 minute")
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(("zz_closer", t(100000))) // advance watermark, close tails
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_parity")
+      .filter(col("host") =!= "zz_closer").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L,
+        r.getTimestamp(2).getTime * 1000L, r.getLong(3))).toSet
+    val batch = CrawlSessions.sessionizeBatch(
+        rows.toDF("host", "ts").withColumn("event_id", lit(0L)),
+        "host", "ts", "event_id", gapMs * 1000L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming dedup: duplicate content within watermark is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
