@@ -82,6 +82,13 @@ object Bench {
         }
         chunks = n; sink = x
       }
+      /** CPU-seconds this probe thread has burned (to subtract from the
+        * process CPU delta — otherwise the probe itself inflates the
+        * cpu8/cpu32 parity it exists to explain). */
+      def cpuSec: Double = {
+        val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+        math.max(0L, tmx.getThreadCpuTime(getId)) / 1e9
+      }
       def stopAndRate(wallSec: Double): Double = {
         running = false; join(1000)
         chunks * 100000.0 / wallSec / 1e6 // M ops/sec
@@ -99,7 +106,8 @@ object Bench {
       val c0 = osb.getProcessCpuTime
       probe.start()
       val wall = time(tileJob(spark, p * 4))
-      val cpu = (osb.getProcessCpuTime - c0) / 1e9
+      val probeCpu = probe.cpuSec // read BEFORE stop (thread id stays valid)
+      val cpu = (osb.getProcessCpuTime - c0) / 1e9 - probeCpu
       (wall, cpu, probe.stopAndRate(wall))
     }
     // interleaved rounds (8,32)x3, min per leg: the shared box

@@ -97,8 +97,14 @@ object Calibrate {
    * integral. The normalized mad is computed from exact integer sums —
    *   |x_n − y_n| = |(x−min_x)·D_y − (y−min_y)·D_x| / (D_x·D_y)
    * with D = max−min, so mad = Σ|num| / (n·D_x·D_y): one closed-form
-   * double division of Long sums, no float accumulation. (Bounds: with
-   * values ≤ 10^5 and n ≤ 10^8 rows/band the Long sum stays < 2^63.)
+   * double division of Long sums, no float accumulation. Overflow
+   * bounds (Long, 2^63): the mad numerator sums need n·D_x·D_y < 2^63
+   * (values ≤ 10^5 → n ≤ ~9·10^8 rows/band); the FIT's closed-form
+   * products are tighter — cov·cov ~ (n·max²)² must stay < 2^63, i.e.
+   * n·max² < ~3·10^9 (n ≤ ~3·10^5 rows/band at values ≤ 10^5). Beyond
+   * that, rescale the inputs or bucket the band: the oracle (DuckDB
+   * BIGINT) errors rather than wraps, so a violation fails the gate
+   * loudly instead of silently corrupting the fit.
    *
    * Scale shape: min/max/fit are groupBy aggregates broadcast back to
    * the pair rows — NOT a Window.partitionBy(band), which would funnel

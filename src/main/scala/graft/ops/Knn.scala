@@ -77,8 +77,13 @@ object Knn {
       if (relational) {
         val finished = topk.join(doneQ, Seq("qid"), "left_semi")
         results = if (results == null) finished else results.unionByName(finished)
-        pending = pending.join(doneQ, Seq("qid"), "left_anti").cache()
-        nPending = pending.count()
+        val next = pending.join(doneQ, Seq("qid"), "left_anti").cache()
+        nPending = next.count()
+        // the superseded pending is dead once its successor materialized
+        // (round top-k's are separately cached) — release it, or every
+        // round leaks a cached relation in a long-lived session
+        pending.unpersist()
+        pending = next
       } else {
         val doneIds = doneQ.collect().map(_.get(0)).toSeq // keep qid's own type
         if (doneIds.nonEmpty) {

@@ -175,9 +175,11 @@ object OracleQueries {
         |refs AS (SELECT 'overlaps/T20MPA_poly_' || CAST(i * 2 AS VARCHAR) || '.tif' AS path FROM n),
         |tgts AS (SELECT 'overlaps/poly_' || CAST(i * 3 AS VARCHAR) || '_' || tile || '.tif' AS path, tile FROM t),
         |rr AS (SELECT path AS ref_path, row_number() OVER (ORDER BY
-        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS BIGINT)) AS rk FROM refs),
+        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS DECIMAL(38,0)),
+        |    regexp_extract(path, '([^/]*)$', 1)) AS rk FROM refs),
         |tr AS (SELECT path AS target_path, tile, row_number() OVER (ORDER BY
-        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS BIGINT)) AS rk FROM tgts),
+        |    CAST(regexp_replace(regexp_extract(path, '([^/]*)$', 1), '[^0-9]', '', 'g') AS DECIMAL(38,0)),
+        |    regexp_extract(path, '([^/]*)$', 1)) AS rk FROM tgts),
         |st AS (SELECT 'stacks/' || tile || '_20200729.tif' AS stack_path, tile FROM t)
         |SELECT rr.rk AS rk, ref_path, target_path, stack_path
         |FROM rr JOIN tr ON rr.rk = tr.rk JOIN st ON tr.tile = st.tile

@@ -67,9 +67,12 @@ object Assets {
   }
 
   /** All digits of the filename as the reference's sort key
-    * (overlap.py:315 `int(''.join(filter(str.isdigit, x)))`). */
+    * (overlap.py:315 `int(''.join(filter(str.isdigit, x)))`).
+    * DECIMAL(38,0), not LONG: Python's int is arbitrary-precision and
+    * real asset names concatenate past 19 digits — a long cast would
+    * NULL silently and scramble the rank pairing. */
   private def digitKey(name: org.apache.spark.sql.Column) =
-    regexp_replace(name, "[^0-9]", "").cast("long")
+    regexp_replace(name, "[^0-9]", "").cast("decimal(38,0)")
 
   /** J8: pair ref/target overlap polys by digit-key order, attach each
     * target's stack by tile token. `polys`/`stacks` are listings with a
@@ -78,7 +81,9 @@ object Assets {
                    refTile: String): DataFrame = {
     val p = polys.withColumn("name", element_at(split(col("path"), "/"), -1))
       .withColumn("key", digitKey(col("name")))
-    val byKey = Window.orderBy("key")
+    // name tiebreak: Python's sort is stable on equal keys; an explicit
+    // total order keeps the rank deterministic at any parallelism
+    val byKey = Window.orderBy("key", "name")
     val refs = p.filter(col("name").contains(refTile))
       .select(col("path").as("ref_path"), row_number().over(byKey).as("rk"))
     val targets = p.filter(!col("name").contains(refTile))

@@ -108,9 +108,16 @@ object TileStore {
 
   /** Snapshot-carrying atomic commit: writes `df` (must carry a LONG
     * `cell` column) cell-range-partitioned under a fresh snapshot id,
-    * appends per-coarse-tile lineage rows (`rows_out` counts — the
-    * north_rule "per-partition checkpoints carrying lineage"), then
-    * atomically publishes the marker. Returns the new snapshot id. */
+    * writes the per-coarse-tile lineage rows (`rows_out` counts — the
+    * north_rule "per-partition checkpoints carrying lineage") INSIDE
+    * the snapshot directory, then atomically publishes the marker.
+    * A crashed attempt leaves only an unmarked snap dir; the retry
+    * reuses the id and its overwrite wipes BOTH orphan data and orphan
+    * lineage rows — commit is idempotent end to end (an append-style
+    * global manifest would duplicate rows on retry). Single-writer per
+    * store by contract (real Iceberg arbitrates concurrent committers
+    * with optimistic locking on the metadata swap).
+    * Returns the new snapshot id. */
   def commit(df: DataFrame, store: String, jobId: String,
              coarseSteps: Int = 6,
              prefixShift: Int = DefaultPrefixShift): String = {
@@ -119,11 +126,16 @@ object TileStore {
       .lastOption.map(_.drop(1).toLong + 1).getOrElse(0L)
     val snapshotId = s"s$nextSeq"
     write(df, dataDir(store, snapshotId), prefixShift)
-    val completed = read(spark, dataDir(store, snapshotId))
+    read(spark, dataDir(store, snapshotId))
       .groupBy(graft.functions.cell_parent(col("cell"), coarseSteps).as("cell"))
       .agg(count(lit(1)).as("rows_out"))
       .withColumn("rows_in", col("rows_out"))
-    Lineage.recordCompleted(spark, store, jobId, snapshotId, completed)
+      .select(lit(jobId).as("job_id"), lit(snapshotId).as("snapshot_id"),
+        col("cell"), col("rows_in"), col("rows_out"),
+        lit(0L).as("completed_at"))
+      // underscore prefix: data scans of the snap dir skip it (hidden
+      // path convention), only lineage() reads it explicitly
+      .write.mode("overwrite").parquet(s"${dataDir(store, snapshotId)}/_manifest")
     // commit point: temp file + atomic rename
     val f = fs(spark, store)
     f.mkdirs(new Path(snapshotDir(store)))
@@ -136,6 +148,18 @@ object TileStore {
       throw new java.io.IOException(s"snapshot publish failed: $snapshotId")
     snapshotId
   }
+
+  /** Lineage rows of all COMMITTED snapshots (Lineage.ManifestSchema
+    * shape — feed straight into Lineage.pending for resume). Unmarked
+    * snap dirs are invisible here too. */
+  def lineage(spark: SparkSession, store: String): DataFrame =
+    snapshots(spark, store)
+      .map(id => spark.read.schema(Lineage.ManifestSchema)
+        .parquet(s"${dataDir(store, id)}/_manifest"))
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(Lineage.ManifestSchema)))
 
   /** Read the store AT a committed snapshot (time travel). */
   def readAt(spark: SparkSession, store: String, snapshotId: String): DataFrame = {

@@ -32,8 +32,17 @@ object CrawlSessions {
    * in-batch gap emit immediately; the trailing (still-open) session
    * emits when the event-time watermark passes `last + gapMs`
    * (GroupStateTimeout.EventTimeTimeout) — state per host is ONE
-   * (start, last, n) triple, so memory is O(active hosts), not
+   * (start, last, n) interval, so memory is O(active hosts), not
    * O(events): the 100 TB shape for clickstream/crawl sessionization.
+   *
+   * Late (out-of-order, within-watermark) events are handled by an
+   * interval sweep: the state interval and the batch's events merge
+   * wherever they are within `gapMs` of each other — a late event
+   * in-gap-of the open session EXTENDS it (including lowering its
+   * start), one further in the past forms its own earlier session.
+   * The one inherent approximation of append-mode streaming: an event
+   * older than a session that was ALREADY emitted cannot retract it
+   * and starts a fresh session instead.
    */
   def sessionize(events: Dataset[PageEvent], gapMs: Long,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
@@ -47,27 +56,29 @@ object CrawlSessions {
         Iterator(SessionOut(host, new java.sql.Timestamp(s.start),
           new java.sql.Timestamp(s.last), s.n))
       } else {
-        val times = it.map(_.ts.getTime).toArray.sorted
+        // sweep: state interval + point events, ordered by start; merge
+        // neighbors within gapMs; everything but the final interval is
+        // closed (followed by a gap) and emits now
+        val intervals = (state.getOption.map(s => (s.start, s.last, s.n)).toList
+            ++ it.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+          .sortBy(iv => (iv._1, iv._2))
         var out = List.empty[SessionOut]
-        var (start, last, n) = state.getOption
-          .map(s => (s.start, s.last, s.n))
-          .getOrElse((times.head, times.head - gapMs - 1, 0L)) // first event opens fresh
-        times.foreach { t =>
-          if (t - last > gapMs && n > 0) {
-            out ::= SessionOut(host, new java.sql.Timestamp(start),
-              new java.sql.Timestamp(last), n)
-            start = t; last = t; n = 1
-          } else {
-            if (n == 0) start = t
-            last = math.max(last, t); n += 1
+        var cur = intervals.head
+        intervals.tail.foreach { iv =>
+          if (iv._1 - cur._2 <= gapMs)
+            cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
+          else {
+            out ::= SessionOut(host, new java.sql.Timestamp(cur._1),
+              new java.sql.Timestamp(cur._2), cur._3)
+            cur = iv
           }
         }
-        state.update(SessionState(start, last, n))
+        state.update(SessionState(cur._1, cur._2, cur._3))
         // a timeout at-or-before the current watermark is rejected by
         // Spark — clamp so a session whose gap already elapsed fires on
         // the next microbatch instead of crashing the query
         state.setTimeoutTimestamp(
-          math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
+          math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
         out.reverse.iterator
       }
     }

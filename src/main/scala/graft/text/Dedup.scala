@@ -213,14 +213,7 @@ object Dedup {
           .select(col("id_a"), col("id_b"),
             (col("common_rare") + coalesce(col("common_hot"), lit(0L)))
               .as("common"))
-        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-        common
-          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-          .withColumn("jaccard",
-            col("common").cast("double") /
-              (col("n_a") + col("n_b") - col("common")).cast("double"))
-          .filter(col("jaccard") >= threshold)
+        scoreCommon(common, sh, threshold)
       case None =>
         // The inverted-index self-join ALREADY enumerates one row per
         // shared shingle per pair — aggregate it straight into the
@@ -231,14 +224,21 @@ object Dedup {
             col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
           .agg(count(lit(1)).as("common"))
-        val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-        common
-          .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-          .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
-          .withColumn("jaccard",
-            col("common").cast("double") /
-              (col("n_a") + col("n_b") - col("common")).cast("double"))
-          .filter(col("jaccard") >= threshold)
+        scoreCommon(common, sh, threshold)
     }
+  }
+
+  /** Shared Jaccard scoring tail: (id_a, id_b, common) + the distinct
+    * shingle relation -> thresholded (..., n_a, n_b, jaccard). */
+  private def scoreCommon(common: DataFrame, sh: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
   }
 }

@@ -75,7 +75,7 @@ class TileStoreSpec extends AnyFunSuite {
       .agg(sum("v")).collect()(0).getLong(0) ==
       v2.agg(sum("v")).collect()(0).getLong(0))
     // per-coarse-tile lineage rows landed with each snapshot
-    val m = graft.lineage.Lineage.readManifest(spark, store)
+    val m = TileStore.lineage(spark, store)
     assert(m.filter(col("snapshot_id") === "s0").count() > 0)
     val sumOut = m.filter(col("snapshot_id") === "s1")
       .agg(sum("rows_out")).collect()(0).getLong(0)
@@ -97,9 +97,17 @@ class TileStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TileStore.readAt(spark, store, "s1")
     }
-    // the next commit takes over the orphaned id and publishes it
+    // the next commit takes over the orphaned id and publishes it —
+    // and the retry does NOT duplicate lineage rows (the snap-dir
+    // overwrite wipes the orphan's _manifest along with its data)
     val s = TileStore.commit(cells, store, "jobB")
     assert(s == "s1" && TileStore.snapshots(spark, store) == Seq("s0", "s1"))
+    val m = TileStore.lineage(spark, store)
+    assert(m.filter(col("snapshot_id") === "s1")
+      .agg(sum("rows_out")).collect()(0).getLong(0) == 5000L)
+    // lineage rows feed resume directly: everything planned is done
+    val planned = m.filter(col("snapshot_id") === "s1").select("cell")
+    assert(graft.lineage.Lineage.pending(planned, m, "jobB", "s1").count() == 0)
   }
 
   test("resumableRun records completion: second run has nothing to do") {

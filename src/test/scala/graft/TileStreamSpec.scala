@@ -39,6 +39,34 @@ class TileStreamSpec extends AnyFunSuite {
     assert(got == want) // z's session is still open -> not emitted
   }
 
+  test("sessionize: late within-watermark events merge or form earlier sessions") {
+    import CrawlSessions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = CrawlSessions.sessionize(
+        mem.toDF().toDF("host", "ts").as[PageEvent],
+        gapMs = 10 * 60 * 1000L, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    mem.addData(("a", t(60)))
+    q.processAllAvailable() // watermark now t(30)
+    // late but within watermark: t(55) is in-gap of the open session
+    // (must EXTEND it backward); t(40) is > gap earlier (own session)
+    mem.addData(("a", t(55)), ("a", t(40)))
+    q.processAllAvailable()
+    mem.addData(("zz", t(600))) // close tails
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_late").filter(col("host") === "a").collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3))).toSet
+    val want = Set(
+      (T0 + 40 * 60000L, T0 + 40 * 60000L, 1L),
+      (T0 + 55 * 60000L, T0 + 60 * 60000L, 2L)) // NOT [60,60]
+    assert(got == want)
+  }
+
   test("streaming sessionize == batch lag/cumsum twin on the same rows") {
     import CrawlSessions._
     implicit val sqlCtx = spark.sqlContext
