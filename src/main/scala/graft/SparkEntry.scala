@@ -174,6 +174,14 @@ object SparkEntry {
     Overlaps.allPairs(Overlaps.extents(Pages.geoPages(spark, dir, Res), "source"))
       .orderBy("src_a", "src_b")
 
+  /** U4 intersect-dedup composed on J2: identical intersection boxes
+    * across different pairs collapse to one row, keeper = first pair
+    * (routines.py:151-153 parity). */
+  def qOverlapBoxes(spark: SparkSession, dir: String): DataFrame =
+    Overlaps.distinctBoxes(
+        Overlaps.allPairs(Overlaps.extents(Pages.geoPages(spark, dir, Res), "source")))
+      .orderBy("src_a", "src_b")
+
   /** J3: one reference source's extent vs all others (broadcast 1xN,
     * find_tile_overlap analog). */
   def qOneVsAll(spark: SparkSession, dir: String): DataFrame =
@@ -518,6 +526,33 @@ object SparkEntry {
         graft.sources.Corpus.withDups(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
+  /** Band-bucket size cap for the capped-gate configuration: generous
+    * enough that NO bucket on the test corpus is dropped, so the capped
+    * path must reproduce the uncapped oracle bit-for-bit (the gate
+    * proves the cap plumbing loses nothing it shouldn't; DedupSpec
+    * proves a tight cap actually drops). */
+  val SimhashMaxBucket = 64
+
+  /** SimHash pairs through the CAPPED band-bucket path (the 100-TB
+    * guard against quadratic hot buckets) — same oracle as q_simhash:
+    * identical survivors on the test corpus. */
+  def qSimhashCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.simhashPairs(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text",
+        maxBucket = Some(SimhashMaxBucket))
+      .orderBy("id_a", "id_b")
+
+  /** Cluster-keeper dedup output (connected components by min-label
+    * propagation) over the simhash near-dup pairs: one (id, keeper) row
+    * per duplicated doc — the contract a training-data pipeline
+    * consumes (pair lists are quadratic in cluster size). Oracle replays
+    * the min-label closure with a recursive CTE. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.clusters(
+        graft.text.Dedup.simhashPairs(
+          graft.sources.Corpus.withDups(spark, dir), "doc_id", "text"))
+      .orderBy("id")
+
   /** Exact n-gram Jaccard via inverted shingle index (no LSH). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.ngramJaccard(
@@ -603,6 +638,17 @@ object SparkEntry {
     graft.vector.Ann.cosineNearDup(quantizedVectors(spark, dir), 64, 0.2)
       .orderBy("id_a", "id_b")
 
+  /** Banded-signature config of the embedding near-dup (the scale
+    * shape: 16 planes split 2 bands x 8 bits — bucket count grows with
+    * the parameters, multi-band OR keeps recall; see AnnSpec for the
+    * measured recall vs the exact pair set). */
+  val EmbedBandPlanes = 16
+  val EmbedBandRows = 8
+  def qDedupEmbedBanded(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.Ann.cosineNearDupBanded(quantizedVectors(spark, dir), 64,
+        0.2, EmbedBandPlanes, EmbedBandRows)
+      .orderBy("id_a", "id_b")
+
   /** LSH-bucketed ANN (scale path): top-k within the signature bucket. */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = quantizedVectors(spark, dir)
@@ -659,6 +705,7 @@ object SparkEntry {
     "q_extent" -> (qExtent _),
     "q_overlaps" -> (qOverlaps _),
     "q_overlaps_cells" -> (qOverlapsCells _),
+    "q_overlap_boxes" -> (qOverlapBoxes _),
     "q_asset_udm2" -> (qAssetUdm2 _),
     "q_overlap_pairing" -> (qOverlapPairing _),
     "q_one_vs_all" -> (qOneVsAll _),
@@ -685,6 +732,8 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
+    "q_simhash_capped" -> (qSimhashCapped _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramCapped _),
     "q_minhash_wide" -> (qMinhashWide _),
@@ -694,6 +743,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_embed_knn" -> (qEmbedKnn _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_banded" -> (qDedupEmbedBanded _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _),

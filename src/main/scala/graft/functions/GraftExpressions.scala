@@ -369,6 +369,35 @@ case class IvfCells(child: Expression, dim: Int)
     copy(child = c)
 }
 
+/** ivf_cells_of(v, codebook): same packed nearest + second-nearest
+  * argmin as IvfCells, but over an EXPLICIT centroid matrix (the
+  * trained-codebook path — Ann.trainCodebook's k-means output feeds the
+  * same kernel through a reference object; the LCG table stays the
+  * oracle-gated default). `codebook` is a Seq (not Array) so case-class
+  * equality stays structural for plan canonicalization. */
+case class IvfCellsOf(child: Expression, codebook: Seq[Seq[Long]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_cells_of"
+  @transient private lazy val cents: Array[Array[Long]] =
+    codebook.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Long] =
+    cents.map(_.map(x => x * x).sum)
+  protected override def nullSafeEval(v: Any): Any =
+    ivfkernel.cells(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, norms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentsOf", cents, "long[][]")
+    val nRef = ctx.addReferenceObj("ivfNormsOf", norms, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.ivfkernel.cells($v, $cRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfCellsOf =
+    copy(child = c)
+}
+
 /** quantize_q(v): float array -> trunc(x * 10000) long array (Ann
   * quantization; one loop/row instead of a per-element HOF). */
 case class QuantizeQ(child: Expression) extends UnaryExpression with ExpectsInputTypes {

@@ -35,11 +35,19 @@ final class TopKBuffer(val k: Int, val ascending: Boolean) {
   private[functions] var ids = new Array[Long](math.min(k, 16))
   private[functions] var size = 0
 
-  /** true iff entry a is strictly better (ranks earlier) than entry b. */
+  /** true iff entry a is strictly better (ranks earlier) than entry b.
+    * Double.compare (not `<`) keeps the order TOTAL for NaN — NaN sorts
+    * as the largest double, matching both Spark's sort order and the
+    * DuckDB oracle's row_number ORDER BY; with raw `<` a NaN (reachable
+    * via 0/0 cosine on an all-zero quantized vector) compares false both
+    * ways, can block the heap root, and violates sortWith's contract. */
   private def better(sa: Double, na: Boolean, ia: Long,
                      sb: Double, nb: Boolean, ib: Long): Boolean = {
     if (na != nb) return nb // non-null beats null
-    if (!na && sa != sb) return if (ascending) sa < sb else sa > sb
+    if (!na && sa != sb) { // `!=` first: -0.0 == 0.0 falls to id tiebreak
+      val c = java.lang.Double.compare(sa, sb)
+      if (c != 0) return if (ascending) c < 0 else c > 0
+    }
     ia < ib
   }
 

@@ -77,6 +77,10 @@ package object functions {
     * (one kernel loop; see IvfCells). */
   def ivf_cells(v: Column, dim: Int): Column = toCol(IvfCells(toExpr(v), dim))
 
+  /** Same, over an explicit (trained) centroid matrix. */
+  def ivf_cells_of(v: Column, codebook: Seq[Seq[Long]]): Column =
+    toCol(IvfCellsOf(toExpr(v), codebook))
+
   /** Fused float32 normalized difference (numpy parity, raster.py:544+). */
   def norm_diff(a: Column, b: Column): Column =
     toCol(NormDiff(toExpr(a.cast("float")), toExpr(b.cast("float"))))

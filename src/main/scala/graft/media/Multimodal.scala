@@ -1,5 +1,7 @@
 package graft.media
 
+import java.io.ByteArrayInputStream
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,10 +12,12 @@ import org.apache.spark.sql.functions._
  * a typed Dataset (the Scala analog of mapInPandas — one JVM call per
  * batch of rows, model/codec handle reused across the partition).
  *
- * The actual codec decode is STUBBED (this container has no image/audio
- * libs — see `decodeReal`); `fakeFeatures` is the deterministic stand-in
- * that keeps the Spark-side plumbing (schema, batching, partitioning,
- * column shapes) real and testable.
+ * IMAGE decode is REAL: the JDK's `javax.imageio` reads PNG/JPEG/BMP/GIF
+ * with zero external deps (see `decodeReal`). Audio/video codecs do not
+ * ship in this container, so non-image payloads fall through to
+ * `fakeFeatures`, the deterministic stand-in that keeps the Spark-side
+ * plumbing (schema, batching, partitioning, column shapes) real and
+ * testable for every modality.
  */
 object Multimodal {
 
@@ -21,9 +25,46 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, byte_len: Int, digest: String,
                            features: Array[Float])
 
-  /** Real decoder entry point — intentionally unimplemented here.
-    * Production wires a codec (JPEG/PNG/opus/...) behind this. */
-  def decodeReal(payload: Array[Byte]): Array[Float] = ???
+  /** Real image decode (JDK ImageIO — PNG/JPEG/BMP/GIF): features are
+    * (width, height, bands, mean of each of up to 3 channels) — the
+    * shape a downstream vision-model filter consumes. Non-image bytes
+    * (or a codec-less modality) return null so callers can route them
+    * to the stand-in. Channel means are exact integer sums divided once
+    * — deterministic across runs and parallelism. */
+  def decodeReal(payload: Array[Byte]): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      val sums = new Array[Long](math.min(bands, 3))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < sums.length) {
+            sums(b) += raster.getSample(x, y, b); b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Array(w.toFloat, h.toFloat, bands.toFloat) ++
+        sums.map(s => (s.toDouble / n).toFloat)
+    }
+  }
+
+  /** Image decode with the deterministic fallback for undecodable
+    * payloads — the default `extractFeatures` decoder. */
+  def decodeOrFake(payload: Array[Byte]): Array[Float] = {
+    val real = decodeReal(payload)
+    if (real != null) real else fakeFeatures(payload)
+  }
 
   /** Deterministic fake "decode": 4 features derived from the bytes
     * (length, first/last byte, simple checksum) — stable across runs. */
@@ -41,7 +82,7 @@ object Multimodal {
     * the decoder closure is constructed once per partition, rows stream
     * through it. */
   def extractFeatures(rows: Dataset[MediaRow],
-                      decode: Array[Byte] => Array[Float] = fakeFeatures)
+                      decode: Array[Byte] => Array[Float] = decodeOrFake)
                      : Dataset[MediaFeatures] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>

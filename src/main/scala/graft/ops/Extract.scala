@@ -79,4 +79,58 @@ object Extract {
   def loadXy(spark: org.apache.spark.sql.SparkSession,
              path: String): (DataFrame, DataFrame) =
     (spark.read.parquet(s"$path/xy"), spark.read.parquet(s"$path/labels_map"))
+
+  /** S10 JSON serde parity (extract.py:63-67 `DataExtractor.save` +
+    * utils.py:9-20 NumpyEncoder): ONE json object
+    * `{"X": [[band values]], "y": [label ids], "labels_map":
+    * {classname: "label_id"}}` (the reference stringifies label ids in
+    * the map). This is the reference's model-training exchange format —
+    * X/y fit one file by design (numpy arrays in memory), so the
+    * collect is training-set-scale and the rows are sorted
+    * (label_id, bands) for a deterministic file; the 100-TB path stays
+    * [[saveXy]] (parquet). */
+  def saveXyJson(xy: DataFrame, bands: Seq[String], path: String): Unit = {
+    val rows = xy
+      .select((bands.map(b => col(b).cast("double")) :+
+        col("label_id") :+ col("classname")): _*)
+      .orderBy((col("label_id") +: bands.map(col)): _*)
+      .collect()
+    def num(d: Double): String =
+      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    val xStr = rows.map(r => bands.indices.map(i => num(r.getDouble(i)))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val yStr = rows.map(_.getLong(bands.length)).mkString("[", ", ", "]")
+    val labels = rows.map(r => (r.getString(bands.length + 1),
+        r.getLong(bands.length))).distinct.sortBy(_._2)
+      .map { case (name, id) => s""""${name}": "${id}"""" }
+      .mkString("{", ", ", "}")
+    val json = s"""{"X": $xStr, "y": $yStr, "labels_map": $labels}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      json.getBytes("UTF-8"))
+  }
+
+  /** S10 JSON load (extract.py:141-147 `load_xy`): (xy rows with the
+    * given band column names + label_id, labels_map). */
+  def loadXyJson(spark: org.apache.spark.sql.SparkSession, bands: Seq[String],
+                 path: String): (DataFrame, Map[String, String]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"))
+    implicit val fmts: Formats = DefaultFormats
+    val xs = (j \ "X").extract[Seq[Seq[Double]]]
+    val ys = (j \ "y").extract[Seq[Long]]
+    val labelsMap = (j \ "labels_map").extract[Map[String, String]]
+    val rows = xs.zip(ys).map { case (x, y) =>
+      org.apache.spark.sql.Row.fromSeq(x :+ y)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      bands.map(b => org.apache.spark.sql.types.StructField(b,
+        org.apache.spark.sql.types.DoubleType)) :+
+        org.apache.spark.sql.types.StructField("label_id",
+          org.apache.spark.sql.types.LongType))
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema), labelsMap)
+  }
 }

@@ -77,6 +77,18 @@ object Overlaps {
       .distinct()
   }
 
+  /** U4 intersect-dedup (routines.py:151-153: `if inter not in
+    * overlaps` — identical intersection boxes arising from DIFFERENT
+    * pairs collapse to one row). Keeper = lexicographically-first
+    * (src_a, src_b) pair: a groupBy + min(struct) (deterministic at any
+    * parallelism and scale-right — one hash aggregate), NOT a
+    * dropDuplicates, whose surviving row is whichever arrives first. */
+  def distinctBoxes(pairs: DataFrame): DataFrame =
+    pairs.groupBy("ilon_min", "ilat_min", "ilon_max", "ilat_max")
+      .agg(min(struct(col("src_a"), col("src_b"))).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+        col("ilon_min"), col("ilat_min"), col("ilon_max"), col("ilat_max"))
+
   /** J3: one reference source vs all others (broadcast side = 1 row). */
   def oneVsAll(ext: DataFrame, refSrc: String): DataFrame = {
     val ref = ext.filter(col("src") === refSrc).alias("a")

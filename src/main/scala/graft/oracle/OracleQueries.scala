@@ -137,6 +137,27 @@ object OracleQueries {
          |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
          |ORDER BY 1, 2""".stripMargin,
 
+    // Overlaps.distinctBoxes parity: keeper = first (src_a, src_b) per
+    // identical intersection box (window rank replays Spark's
+    // min(struct) deterministically)
+    "q_overlap_boxes" ->
+      s"""${geoPrefixAnd(Res,
+        """ext AS (SELECT source AS src, min(lon) AS lon_min, min(lat) AS lat_min,
+          |  max(lon) AS lon_max, max(lat) AS lat_max FROM geo GROUP BY 1),
+          |prs AS (SELECT a.src AS src_a, b.src AS src_b,
+          |  greatest(a.lon_min, b.lon_min) AS ilon_min,
+          |  greatest(a.lat_min, b.lat_min) AS ilat_min,
+          |  least(a.lon_max, b.lon_max) AS ilon_max,
+          |  least(a.lat_max, b.lat_max) AS ilat_max
+          |  FROM ext a JOIN ext b ON a.src < b.src
+          |  AND a.lon_min <= b.lon_max AND b.lon_min <= a.lon_max
+          |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max),
+          |rk AS (SELECT *, row_number() OVER (
+          |  PARTITION BY ilon_min, ilat_min, ilon_max, ilat_max
+          |  ORDER BY src_a, src_b) AS r FROM prs)""".stripMargin)}
+         |SELECT src_a, src_b, ilon_min, ilat_min, ilon_max, ilat_max
+         |FROM rk WHERE r = 1 ORDER BY src_a, src_b""".stripMargin,
+
     "q_asset_udm2" ->
       """WITH b AS (SELECT doc_id, '/pl/' || source || '/' ||
         |    CAST(20200700 + doc_id % 30 AS VARCHAR) || '_' ||
@@ -291,9 +312,9 @@ object OracleQueries {
            |  CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
            |  FROM p GROUP BY 1)""".stripMargin)}
          |SELECT lang, n,
-         |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
-         |  (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-         |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
+         |  CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS slope,
+         |  (CAST(sy AS DOUBLE) - CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+         |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / NULLIF(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 0) AS r2
          |FROM s ORDER BY lang""".stripMargin,
 
     "q_calibrate_e2e" -> {
@@ -301,9 +322,13 @@ object OracleQueries {
       // sums; normalized mad from the integer numerator identity
       // |x_n - y_n| = |(x-minx)*Dy - (y-miny)*Dx| / (Dx*Dy);
       // array_correction = y - intercept w/ negative revert + uint16
-      // (corrected is always >= 0, so plain % == pmod)
-      val slope = "CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)"
-      val madE = "CAST(snum AS DOUBLE) / CAST(n*(maxx-minx)*(maxy-miny) AS DOUBLE)"
+      // (corrected is always >= 0, so plain % == pmod).
+      // NULLIF on every denominator: Spark computes these with
+      // try_divide (NULL on zero), while DuckDB's IEEE `/` would yield
+      // inf/NaN — a degenerate band (constant x, y, or corrected side)
+      // must compare NULL==NULL, not NULL-vs-NaN.
+      val slope = "CAST(n*sxy - sx*sy AS DOUBLE) / NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0)"
+      val madE = "CAST(snum AS DOUBLE) / NULLIF(CAST(n*(maxx-minx)*(maxy-miny) AS DOUBLE), 0)"
       s"""${geoPrefixAnd(JoinRes,
         s"""x AS (SELECT cell, lang, count(*) AS x FROM enc
            |  WHERE source IN ($firstTen) GROUP BY 1, 2),
@@ -317,7 +342,7 @@ object OracleQueries {
            |  FROM p GROUP BY 1),
            |f AS (SELECT lang, n, $slope AS slope,
            |  (CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
-           |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE) AS r2
+           |  CAST((n*sxy - sx*sy) * (n*sxy - sx*sy) AS DOUBLE) / NULLIF(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE), 0) AS r2
            |  FROM s),
            |pc AS (SELECT p.lang, p.x, p.y,
            |  (CAST(trunc(CASE WHEN p.y - f.intercept < 0 THEN CAST(p.y AS DOUBLE)
@@ -335,7 +360,7 @@ object OracleQueries {
          |  $madE AS mad,
          |  ($madE > 0.05) AS needs_corr,
          |  CASE WHEN $madE > 0.05 THEN
-         |    CAST(snumc AS DOUBLE) / CAST(n*(maxx-minx)*(maxc-minc) AS DOUBLE)
+         |    CAST(snumc AS DOUBLE) / NULLIF(CAST(n*(maxx-minx)*(maxc-minc) AS DOUBLE), 0)
          |  END AS mad_corr
          |FROM f JOIN st ON f.lang = st.lang JOIN nm ON f.lang = nm.lang
          |ORDER BY f.lang""".stripMargin
@@ -509,13 +534,28 @@ object OracleQueries {
        |${jaccardTail(threshold)}""".stripMargin
   }
 
+  /** Dedup.simhashPairs parity (shared by the capped configuration —
+    * the cap is survivor-neutral on the test corpus by construction). */
+  private lazy val simhashPairsSql: String =
+    s"""WITH $corpusCte,
+       |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
+       |thm AS (SELECT id, md5(tk) AS md FROM tok0),
+       |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
+       |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id)
+       |SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.id < b.id
+       |  AND bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+
   private def simhashBitSum: String =
     (0 until graft.text.SimHash.Bits).map { b =>
       s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def lshSigSql(vcol: String): String =
-    (0 until graft.vector.Ann.NumPlanes).map { p =>
+  private def lshSigSql(vcol: String,
+                        numPlanes: Int = graft.vector.Ann.NumPlanes): String =
+    (0 until numPlanes).map { p =>
       val w = graft.vector.Ann.planeArray(p, 64).mkString("[", ", ", "]")
       s"(CASE WHEN ${dotQSql(w, vcol)} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
@@ -576,17 +616,32 @@ object OracleQueries {
 
     "q_minhash_wide" -> minhashLshSql(128, 8, 0.4, Some("doc_id % 3 = 0")),
 
-    "q_simhash" ->
-      s"""WITH $corpusCte,
+    "q_simhash" -> simhashPairsSql,
+
+    // the capped band-bucket path is survivor-identical on the test
+    // corpus (cap > every bucket) — the SAME oracle statement verifies
+    // the cap plumbing loses nothing it shouldn't
+    "q_simhash_capped" -> simhashPairsSql,
+
+    // cluster keepers over the simhash pairs: the min-label closure
+    // replayed as a recursive CTE (walk enumerates every (id,
+    // reachable-id) pair of a component; min = the keeper)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusCte,
          |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
          |thm AS (SELECT id, md5(tk) AS md FROM tok0),
          |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
-         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id)
-         |SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |FROM sig a JOIN sig b ON a.id < b.id
-         |  AND bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY 1, 2""".stripMargin,
+         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sig a JOIN sig b ON a.id < b.id
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
+         |SELECT id, min(label) AS keeper FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $corpusCte,
@@ -684,6 +739,27 @@ object OracleQueries {
          |FROM cs a JOIN cs b ON a.sig = b.sig AND a.id < b.id
          |WHERE ${cosineQSql("a.v", "b.v")} >= 0.2
          |ORDER BY 1, 2""".stripMargin,
+
+    // Ann.cosineNearDupBanded parity: 16-plane signature, 2 bands x 8
+    // bits, candidates share ANY band; exact cosine verify
+    "q_dedup_embed_banded" -> {
+      val planes = graft.SparkEntry.EmbedBandPlanes
+      val rpb = graft.SparkEntry.EmbedBandRows
+      val nBands = planes / rpb
+      val mask = (1L << rpb) - 1L
+      val bandRows = (0 until nBands)
+        .map(b => s"SELECT id, $b AS band, (sig >> ${b * rpb}) & $mask AS k0 FROM cs")
+        .mkString("\n  UNION ALL ")
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |cs AS (SELECT id, v, CAST(${lshSigSql("v", planes)} AS BIGINT) AS sig FROM cv),
+         |bnd AS ($bandRows),
+         |prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bnd a
+         |  JOIN bnd b ON a.band = b.band AND a.k0 = b.k0 AND a.id < b.id)
+         |SELECT p.id_a, p.id_b, ${cosineQSql("va.v", "vb.v")} AS cos
+         |FROM prs p JOIN cv va ON va.id = p.id_a JOIN cv vb ON vb.id = p.id_b
+         |WHERE ${cosineQSql("va.v", "vb.v")} >= 0.2
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "q_multimodal" ->
       s"""WITH $pagesCte

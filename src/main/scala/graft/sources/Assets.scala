@@ -74,6 +74,32 @@ object Assets {
   private def digitKey(name: org.apache.spark.sql.Column) =
     regexp_replace(name, "[^0-9]", "").cast("decimal(38,0)")
 
+  /** Two-phase global rank by (key, name) — the zipWithIndex shape:
+    * range-repartition on the sort key, per-partition row_number
+    * (Window.partitionBy(partition id) — each partition ranks locally,
+    * no single-task funnel), then add per-partition offsets computed
+    * from the partition counts (collected — one row per PARTITION, a
+    * parallelism-scale collect, not data-scale). The rank values are
+    * independent of where the range boundaries fall, so the output is
+    * deterministic at any parallelism. Replaces the r2 global
+    * `Window.orderBy(...)`, which moved the whole listing through ONE
+    * task (fine at catalog scale, a funnel at a 10^7-file listing). */
+  private def rankByKeyName(df: DataFrame): DataFrame = {
+    val ranged = df.repartitionByRange(col("key"), col("name"))
+      .withColumn("part_", spark_partition_id())
+    val local = ranged.withColumn("lrk_", row_number().over(
+      Window.partitionBy("part_").orderBy("key", "name")))
+    val counts = local.groupBy("part_").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
+      when(col("part_") === p, lit(off)).otherwise(acc)
+    }
+    local.withColumn("rk", (col("lrk_") + offExpr).cast("int"))
+      .drop("part_", "lrk_")
+  }
+
   /** J8: pair ref/target overlap polys by digit-key order, attach each
     * target's stack by tile token. `polys`/`stacks` are listings with a
     * `path` column. Emits (rk, ref_path, target_path, stack_path). */
@@ -82,15 +108,14 @@ object Assets {
     val p = polys.withColumn("name", element_at(split(col("path"), "/"), -1))
       .withColumn("key", digitKey(col("name")))
     // name tiebreak: Python's sort is stable on equal keys; an explicit
-    // total order keeps the rank deterministic at any parallelism
-    val byKey = Window.orderBy("key", "name")
-    val refs = p.filter(col("name").contains(refTile))
-      .select(col("path").as("ref_path"), row_number().over(byKey).as("rk"))
-    val targets = p.filter(!col("name").contains(refTile))
-      .withColumn("tile",
-        element_at(split(element_at(split(col("name"), "\\."), 1), "_"), -1))
-      .select(col("path").as("target_path"), col("tile"),
-        row_number().over(byKey).as("rk"))
+    // total order keeps the rank deterministic at any parallelism.
+    // rankByKeyName = two-phase rank (no global single-partition window)
+    val refs = rankByKeyName(p.filter(col("name").contains(refTile)))
+      .select(col("path").as("ref_path"), col("rk"))
+    val targets = rankByKeyName(p.filter(!col("name").contains(refTile))
+        .withColumn("tile",
+          element_at(split(element_at(split(col("name"), "\\."), 1), "_"), -1)))
+      .select(col("path").as("target_path"), col("tile"), col("rk"))
     val s = stacks
       .withColumn("sname", element_at(split(col("path"), "/"), -1))
       .filter(!col("sname").contains(refTile)) // overlap.py:327 f != ref

@@ -102,8 +102,11 @@ object TileStore {
     val dir = new Path(snapshotDir(store))
     val f = fs(spark, store)
     if (!f.exists(dir)) Seq.empty
+    // strict s<digits> match: a stray file in _snapshots (partially
+    // written marker on a non-atomic FS, unrelated junk) must be
+    // ignored, not NumberFormatException every read/commit
     else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("s")).sortBy(_.drop(1).toLong).toSeq
+      .filter(_.matches("s\\d+")).sortBy(_.drop(1).toLong).toSeq
   }
 
   /** Snapshot-carrying atomic commit: writes `df` (must carry a LONG
@@ -117,19 +120,38 @@ object TileStore {
     * global manifest would duplicate rows on retry). Single-writer per
     * store by contract (real Iceberg arbitrates concurrent committers
     * with optimistic locking on the metadata swap).
+    * `input`: the UPSTREAM relation the committed rows were derived
+    * from (must carry a fine-res `cell` column) — its per-coarse-tile
+    * counts become the manifest's `rows_in`. None means df itself IS
+    * the input (a plain sink write transforms nothing), so
+    * rows_in == rows_out is the honest count, not a placeholder.
     * Returns the new snapshot id. */
   def commit(df: DataFrame, store: String, jobId: String,
              coarseSteps: Int = 6,
-             prefixShift: Int = DefaultPrefixShift): String = {
+             prefixShift: Int = DefaultPrefixShift,
+             input: Option[DataFrame] = None): String = {
     val spark = df.sparkSession
     val nextSeq = snapshots(spark, store)
       .lastOption.map(_.drop(1).toLong + 1).getOrElse(0L)
     val snapshotId = s"s$nextSeq"
     write(df, dataDir(store, snapshotId), prefixShift)
-    read(spark, dataDir(store, snapshotId))
+    val outCounts = read(spark, dataDir(store, snapshotId))
       .groupBy(graft.functions.cell_parent(col("cell"), coarseSteps).as("cell"))
       .agg(count(lit(1)).as("rows_out"))
-      .withColumn("rows_in", col("rows_out"))
+    val withIn = input match {
+      case None => outCounts.withColumn("rows_in", col("rows_out"))
+      case Some(in) =>
+        val inCounts = in
+          .groupBy(graft.functions.cell_parent(col("cell"), coarseSteps).as("cell"))
+          .agg(count(lit(1)).as("rows_in"))
+        // full outer: a coarse tile can exist on only one side (all its
+        // input rows filtered out, or output cells the input lacked)
+        outCounts.join(inCounts, Seq("cell"), "full_outer")
+          .select(col("cell"),
+            coalesce(col("rows_out"), lit(0L)).as("rows_out"),
+            coalesce(col("rows_in"), lit(0L)).as("rows_in"))
+    }
+    withIn
       .select(lit(jobId).as("job_id"), lit(snapshotId).as("snapshot_id"),
         col("cell"), col("rows_in"), col("rows_out"),
         lit(0L).as("completed_at"))

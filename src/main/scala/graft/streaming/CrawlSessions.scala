@@ -28,7 +28,9 @@ object CrawlSessions {
 
   /**
    * Gap-based sessionization per host: a session is a maximal run of
-   * events with inter-arrival < `gapMs`. Sessions closed by an
+   * events with inter-arrival <= `gapMs` (an arrival at exactly the gap
+   * still joins the session — the streaming merge and the batch twin
+   * both split strictly-greater-than). Sessions closed by an
    * in-batch gap emit immediately; the trailing (still-open) session
    * emits when the event-time watermark passes `last + gapMs`
    * (GroupStateTimeout.EventTimeTimeout) — state per host is ONE

@@ -81,10 +81,43 @@ object Dedup {
       .select((col("id") +: col("bk.band").as("band") +: kCols): _*)
   }
 
-  /** Candidate pairs: ids sharing any band bucket, a < b, distinct. */
-  def candidates(bandDf: DataFrame): DataFrame = {
-    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k"))
-    val a = bandDf.alias("a"); val b = bandDf.alias("b")
+  /** Drop rows of band buckets holding more than `cap` ids: the bucket
+    * self-join is QUADRATIC in bucket size, so one boilerplate cluster
+    * of 10^6 near-identical pages sharing a band bucket would emit
+    * ~5*10^11 candidate pairs before any verify. The per-bucket count is
+    * a partial-aggregating groupBy (no skewed window), and surviving
+    * rows come back via an equi-join on the same keys. Dropped-bucket
+    * accounting stays queryable: cappedBucketStats reports what a cap
+    * would drop (no silent truncation). */
+  def capBuckets(bandDf: DataFrame, cap: Int): DataFrame = {
+    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
+    val small = bandDf.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap)
+      .drop("bucket_n")
+    bandDf.join(small, keyCols)
+  }
+
+  /** Bucket-size distribution over a band relation — the "what would a
+    * cap drop" report callers log before committing to a cap. */
+  def bucketStats(bandDf: DataFrame, cap: Int): DataFrame = {
+    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
+    bandDf.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bucket_n")).as("max_bucket"),
+        sum(when(col("bucket_n") > cap, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(col("bucket_n") > cap, col("bucket_n")).otherwise(0L))
+          .as("n_dropped_rows"))
+  }
+
+  /** Candidate pairs: ids sharing any band bucket, a < b, distinct.
+    * `maxBucket` caps bucket size first (the 100-TB guard — see
+    * capBuckets; None = exact LSH semantics). */
+  def candidates(bandDf: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val capped = maxBucket.map(capBuckets(bandDf, _)).getOrElse(bandDf)
+    val keyCols = capped.columns.filter(c => c == "band" || c.startsWith("k"))
+    val a = capped.alias("a"); val b = capped.alias("b")
     val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
     a.join(b, keyEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -125,20 +158,31 @@ object Dedup {
     * Cache lifetime is the CALLER's (the returned plan references the
     * cached relations lazily); Verify/Bench clearCache between queries.
     */
+  /** Candidate-pair count above which the verify-side semi-join stops
+    * broadcasting the candidate id set (2 longs/pair — beyond this the
+    * driver-collected broadcast is the OOM risk, and a shuffled
+    * semi-join is the right plan anyway). */
+  val BroadcastCandLimit = 4_000_000L
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.4, numHashes: Int = 8,
-                 rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+                 rowsPerBand: Int = 2, k: Int = 3,
+                 maxBucket: Option[Int] = None): DataFrame = {
     val shAll = docShinglesAll(df, idCol, textCol, k)
     val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
-    val cand = candidates(bnd).cache()
+    val cand = candidates(bnd, maxBucket).cache()
     // no distinct: a semi-join right side tolerates duplicates, and the
     // distinct would cost one more (tiny but scheduled) shuffle
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id")))
     // candidate docs << corpus by LSH design -> broadcast the id set;
-    // drop the hint if a pathological corpus makes it exceed the
-    // broadcast threshold (the semi-join stays correct either way)
-    val sh = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
+    // the hint is CONDITIONAL on the materialized candidate count (cand
+    // is cached, so the count costs one traversal that the verify join
+    // reuses) — a pathological corpus with huge LSH buckets falls back
+    // to a shuffled semi-join instead of OOMing the driver
+    val candIdsHinted =
+      if (cand.count() <= BroadcastCandLimit) broadcast(candIds) else candIds
+    val sh = shAll.join(candIdsHinted, Seq("id"), "left_semi")
       .distinct().cache()
     jaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
@@ -146,19 +190,23 @@ object Dedup {
   /** SimHash near-dup: 60-bit signatures (graft.text.SimHash via the
     * codegen'd simhash60 expression), band-join on the 4 15-bit bands
     * (Hamming <= 3 over 4 bands guarantees >= 1 identical band —
-    * standard pigeonhole blocking), verify exact Hamming. */
+    * standard pigeonhole blocking), verify exact Hamming.
+    * `maxBucket` caps band-bucket size before the quadratic self-join
+    * (same 100-TB guard as candidates/capBuckets; None = exact). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Option[Int] = None): DataFrame = {
     import graft.functions.simhash60
     import graft.text.SimHash.{BandBits, NumBands}
     val sig = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
     val mask = (1L << BandBits) - 1L
-    val nib = sig.select(col("id"), col("sig"),
+    val nib0 = sig.select(col("id"), col("sig"),
         explode(array((0 until NumBands).map(n => struct(lit(n).as("band"),
-          shiftright(col("sig"), n * BandBits).bitwiseAND(mask).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.key").as("key"))
+          shiftright(col("sig"), n * BandBits).bitwiseAND(mask).as("k0"))): _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.k0").as("k0"))
+    val nib = maxBucket.map(capBuckets(nib0, _)).getOrElse(nib0)
     val a = nib.alias("a"); val b = nib.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+    a.join(b, col("a.band") === col("b.band") && col("a.k0") === col("b.k0") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -226,6 +274,56 @@ object Dedup {
           .agg(count(lit(1)).as("common"))
         scoreCommon(common, sh, threshold)
     }
+  }
+
+  /** Cluster-keeper output over near-dup pairs — the contract a
+    * training-data pipeline actually consumes (the pair list itself is
+    * quadratic in duplicate-cluster size; the per-doc keeper row is
+    * linear). Connected components by iterative min-label propagation:
+    * every doc starts labeled with its own id; each round every doc
+    * takes the min over {its label} ∪ {labels of the labels of its
+    * neighbors} (the label-of-label hop is pointer doubling, so a chain
+    * of length n converges in O(log n) rounds, not O(n)); stop when no
+    * label changes. Every step is a hash equi-join + min-aggregate — no
+    * global structure, the 100-TB CC shape. The convergence check is a
+    * count() per round (bookkeeping-scale action).
+    *
+    * Input: (id_a, id_b) near-dup pairs (extra columns ignored).
+    * Output: (id, keeper) for every id that appears in >= 1 pair, where
+    * keeper = min id of its connected component (keeper == id marks the
+    * component representative to KEEP; the rest drop).
+    *
+    * Beyond-reference operator (builder mandate): the reference emits
+    * pair lists only. Caches each round's label relation; caller owns
+    * the lifetime of the returned (final) relation. */
+  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var lab = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // neighbor labels, then one pointer-doubling hop: label-of-label
+      val viaNeighbor = e.alias("e")
+        .join(lab.alias("nl"), col("e.dst") === col("nl.id"))
+        .select(col("e.src").as("id"), col("nl.label").as("label"))
+      val hop = lab.alias("l1")
+        .join(lab.alias("l2"), col("l1.label") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.label").as("label"))
+      val next = lab.select("id", "label")
+        .union(viaNeighbor).union(hop)
+        .groupBy("id").agg(min("label").as("label"))
+        .cache()
+      val changed = next.join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
+        .filter(col("label") =!= col("old_label")).count()
+      lab.unpersist()
+      lab = next
+      converged = changed == 0
+      round += 1
+    }
+    require(converged, s"clusters() did not converge in $maxRounds rounds")
+    lab.select(col("id"), col("label").as("keeper"))
   }
 
   /** Shared Jaccard scoring tail: (id_a, id_b, common) + the distinct

@@ -242,6 +242,106 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("clusters: min-label CC over chains, stars and singleton pairs") {
+    // chain 1-2-3-4-5 (forces multi-round pointer doubling), star
+    // 10-{11,12,13}, lone pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == want)
+    // keeper rows are exactly one per component
+    assert(got.count { case (id, k) => id == k } == 3)
+  }
+
+  test("band-bucket cap: generous cap is survivor-identical, cap=1 drops") {
+    def mh(cap: Option[Int]) =
+      Dedup.minhashLsh(docs, "doc_id", "text", 0.4, maxBucket = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un = mh(None)
+    assert(mh(Some(100)) == un && un.nonEmpty)
+    // cap 1: every shared bucket has >= 2 ids -> no candidates at all
+    assert(mh(Some(1)).isEmpty)
+    def sh(cap: Option[Int]) =
+      Dedup.simhashPairs(docs, "doc_id", "text", 3, maxBucket = cap)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shUn = sh(None)
+    assert(sh(Some(100)) == shUn && shUn.nonEmpty)
+    assert(sh(Some(1)).isEmpty)
+    // the drop report is honest: cap=1 reports every shared bucket
+    val bnd = Dedup.bands(Dedup.minhash(
+      Dedup.docShinglesAll(docs, "doc_id", "text")))
+    val stats = Dedup.bucketStats(bnd, 1).collect()(0)
+    assert(stats.getAs[Long]("n_dropped_buckets") > 0)
+    assert(stats.getAs[Long]("max_bucket") >= 2)
+  }
+
+  test("cosineNearDupBanded: exact values, superset of full-sig blocking") {
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val qv = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(f => (f.toDouble * 10000.0).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val exact = (for { a <- qv.keys; b <- qv.keys
+      if a < b && cos(qv(a), qv(b)) >= 0.05 }
+      yield ((a, b), cos(qv(a), qv(b)))).toMap
+    val banded = Ann.cosineNearDupBanded(c, 64, 0.05, 16, 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision is exact (verify step): every pair is a true pair with
+    // the exact brute-force cosine
+    banded.foreach { case (k, v) => assert(exact.contains(k) && exact(k) == v) }
+    // recall >= the full-16-plane-signature config by construction
+    // (full-signature match implies every band matches)
+    val full16 = Ann.cosineNearDup(c, 64, 0.05, numPlanes = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full16.subsetOf(banded.keySet))
+    // document the measured recall (asserted loosely; exact value is
+    // fixture-dependent): banding must find a nontrivial share
+    val recall = banded.size.toDouble / exact.size
+    info(f"banded recall vs exact pairs: ${recall}%.3f " +
+      s"(${banded.size}/${exact.size}; full-16-sig finds ${full16.size})")
+    assert(recall >= full16.size.toDouble / exact.size)
+  }
+
+  test("trainCodebook: deterministic, recall >= LCG codebook on fixture") {
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    val q = vecs.filter($"id" < 10)
+      .select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
+    val trained = Ann.trainCodebook(c, 64, iters = 3)
+    val again = Ann.trainCodebook(c, 64, iters = 3)
+    assert(trained == again) // exact integer determinism
+    assert(trained != Ann.lcgCodebook(64)) // it actually moved
+    val qv = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(f => (f.toDouble * 10000.0).toLong).toArray).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    // ground truth: exact top-3 by brute force
+    val truth = (0L until 10L).map { qid =>
+      qid -> qv.keys.toSeq.map(id => (id, cos(qv(qid), qv(id))))
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(book: Option[Seq[Seq[Long]]]): Double = {
+      val got = Ann.ivfTopK(q, c, 64, 3, book).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      (0L until 10L).map(qid =>
+        (got.getOrElse(qid, Set.empty) intersect truth(qid)).size.toDouble /
+          truth(qid).size).sum / 10.0
+    }
+    val rTrained = recall(Some(trained))
+    val rLcg = recall(None)
+    info(f"ivf recall: trained=$rTrained%.3f lcg=$rLcg%.3f")
+    assert(rTrained >= rLcg)
+  }
+
   test("lsh top-k returns each query itself at rank 1 (same bucket)") {
     val q = vecs.select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))

@@ -28,10 +28,32 @@ class MediaLineageSpec extends AnyFunSuite {
         a.features.sameElements(b.features)) })
   }
 
-  test("real decoder is an explicit stub") {
-    intercept[NotImplementedError] {
-      Multimodal.decodeReal(Array[Byte](1, 2, 3))
-    }
+  test("decodeReal decodes a synthetic PNG (JDK ImageIO, no external deps)") {
+    // deterministic 4x2 RGB image: channel values chosen so the means
+    // are exact in float
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, new java.awt.Color(x * 60, y * 100, 128).getRGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val bytes = bos.toByteArray
+    val f = Multimodal.decodeReal(bytes)
+    assert(f != null)
+    assert(f(0) == 4.0f && f(1) == 2.0f && f(2) == 3.0f) // w, h, bands
+    assert(f(3) == (0 + 60 + 120 + 180) * 2 / 8.0f) // mean R
+    assert(f(4) == (0 * 4 + 100 * 4) / 8.0f)        // mean G
+    assert(f(5) == 128.0f)                          // mean B
+    // second decode identical (determinism)
+    assert(Multimodal.decodeReal(bytes).sameElements(f))
+    // non-image bytes -> null -> extractFeatures falls back to the fake
+    assert(Multimodal.decodeReal(Array[Byte](1, 2, 3)) == null)
+    assert(Multimodal.decodeOrFake(Array[Byte](1, 2, 3))
+      .sameElements(Multimodal.fakeFeatures(Array[Byte](1, 2, 3))))
+    // and through the distributed batch path
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(9L, bytes)).toDS()).collect()
+    assert(feats.head.features.sameElements(f))
   }
 
   test("end-to-end resumable tile job: crash + resume == one-shot") {

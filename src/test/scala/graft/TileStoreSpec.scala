@@ -86,6 +86,58 @@ class TileStoreSpec extends AnyFunSuite {
     assert(n > 0 && n < 5000)
   }
 
+  test("commit rows_in: honest upstream counts when input given") {
+    val store = tmpDir("ts-rowsin")
+    // committed relation = input aggregated per cell (a real transform)
+    val input = cells
+    val out = cells.groupBy("cell").agg(sum("v").as("v"))
+    TileStore.commit(out, store, "jobA", input = Some(input))
+    val m = TileStore.lineage(spark, store)
+    assert(m.agg(sum("rows_in")).collect()(0).getLong(0) == 5000L)
+    assert(m.agg(sum("rows_out")).collect()(0).getLong(0) == out.count())
+    // per coarse tile, rows_in matches the input's own rollup
+    val wantIn = input
+      .groupBy(cell_parent(col("cell"), 6).as("cell"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("want"))
+    assert(m.join(wantIn, Seq("cell"))
+      .filter(col("rows_in") =!= col("want")).count() == 0)
+    // a stray non-marker file in _snapshots must be ignored, not parsed
+    val junk = new java.io.File(s"$store/_snapshots/schema")
+    java.nio.file.Files.writeString(junk.toPath, "junk")
+    assert(TileStore.snapshots(spark, store) == Seq("s0"))
+  }
+
+  test("saveXyJson/loadXyJson: reference JSON shape roundtrip") {
+    val dir = tmpDir("ts-xyjson")
+    new java.io.File(dir).mkdirs()
+    val path = s"$dir/xy.json"
+    val xy = Seq(
+      (3L, 10L, "CARS", 67L), (1L, 20L, "CARS", 67L),
+      (5L, 30L, "FOOD", 70L)).toDF("b1", "b2", "classname", "label_id")
+    graft.ops.Extract.saveXyJson(xy, Seq("b1", "b2"), path)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    // the reference's exact object shape (extract.py:63-67): X matrix,
+    // y vector, labels_map with STRING ids (NumpyEncoder parity)
+    assert(json.startsWith("""{"X": [["""))
+    assert(json.contains(""""labels_map": {"CARS": "67", "FOOD": "70"}"""))
+    val (back, labels) = graft.ops.Extract.loadXyJson(spark, Seq("b1", "b2"), path)
+    assert(labels == Map("CARS" -> "67", "FOOD" -> "70"))
+    val rows = back.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(rows == Set((3.0, 10.0, 67L), (1.0, 20.0, 67L), (5.0, 30.0, 70L)))
+  }
+
+  test("distinctBoxes: identical intersection boxes collapse to first pair") {
+    val pairs = Seq(
+      ("a", "b", 0.0, 0.0, 1.0, 1.0),
+      ("a", "c", 0.0, 0.0, 1.0, 1.0), // same box, later pair -> drops
+      ("b", "c", 0.0, 0.0, 2.0, 1.0)  // different box -> kept
+    ).toDF("src_a", "src_b", "ilon_min", "ilat_min", "ilon_max", "ilat_max")
+    val got = graft.ops.Overlaps.distinctBoxes(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(4))).toSet
+    assert(got == Set(("a", "b", 1.0), ("b", "c", 2.0)))
+  }
+
   test("snapshot atomicity: unmarked data is invisible; readAt rejects it") {
     val store = tmpDir("ts-crash")
     TileStore.commit(cells, store, "jobA")
