@@ -297,10 +297,24 @@ object Dedup {
     * pair lists only. Caches each round's label relation; caller owns
     * the lifetime of the returned (final) relation. */
   def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // cache the edge relation: every propagation round joins against it,
+    // and the upstream pair pipeline (band joins, verifies) must not
+    // re-execute per round
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    // localCheckpoint (eager), NOT cache: each round's relation is
+    // defined in terms of the previous one (twice, via the hop
+    // self-join), so an un-truncated lineage grows ~3x PER ROUND and
+    // Catalyst analysis time explodes exponentially even though
+    // execution is cheap — the classic iterative-algorithm pitfall.
+    // Checkpointing pins the materialized rows and resets the plan to a
+    // leaf. (On a cluster, swap for checkpoint() if executor loss
+    // during the loop must be survivable; the relation is one row per
+    // distinct doc id in the pair set.)
     var lab = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -314,15 +328,16 @@ object Dedup {
       val next = lab.select("id", "label")
         .union(viaNeighbor).union(hop)
         .groupBy("id").agg(min("label").as("label"))
-        .cache()
-      val changed = next.join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
         .filter(col("label") =!= col("old_label")).count()
-      lab.unpersist()
       lab = next
       converged = changed == 0
       round += 1
     }
     require(converged, s"clusters() did not converge in $maxRounds rounds")
+    e.unpersist()
     lab.select(col("id"), col("label").as("keeper"))
   }
 

@@ -54,6 +54,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("filename pairing rank has no partition-less window (two-phase)") {
+    // VERDICT r2 #3: the global Window.orderBy funneled the listing
+    // through ONE task; rankByKeyName must only ever window WITHIN a
+    // partition id. Any WindowExec in the plan must carry a non-empty
+    // partition spec — the printed form of a global window is
+    // "Window [...], [key ASC ...]" (no partitionBy clause between
+    // the function list and the ORDER spec), while the partitioned form
+    // prints "Window [...], [part_#N], [key ASC ...]".
+    val p = plan("q_overlap_pairing")
+    val globalWindow = "Window \\[[^\\]]*\\], \\[[^\\]]*ASC".r
+    assert(globalWindow.findFirstIn(p).isEmpty,
+      s"q_overlap_pairing: partition-less window found:\n$p")
+  }
+
+  test("banded embed near-dup: equi-join candidates, no cross product") {
+    val p = plan("q_dedup_embed_banded")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"banded blocking degenerated to a cross product:\n$p")
+  }
+
   test("scans prune to the referenced columns (text never read)") {
     val p = plan("q_tile_density")
     assert(p.contains("ReadSchema"))
