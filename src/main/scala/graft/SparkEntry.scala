@@ -553,6 +553,17 @@ object SparkEntry {
           graft.sources.Corpus.withDups(spark, dir), "doc_id", "text"))
       .orderBy("id")
 
+  /** The composed dedup flagship: pairs -> connected components -> the
+    * SURVIVING corpus (one keeper per near-dup cluster + all untouched
+    * docs). Length binds the survivor rows to their content. */
+  def qDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.sources.Corpus.withDups(spark, dir)
+    graft.text.Dedup.keepClusterKeepers(corpus, "doc_id",
+        graft.text.Dedup.simhashPairs(corpus, "doc_id", "text"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard via inverted shingle index (no LSH). */
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.ngramJaccard(
@@ -734,6 +745,7 @@ object SparkEntry {
     "q_simhash" -> (qSimhash _),
     "q_simhash_capped" -> (qSimhashCapped _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_e2e" -> (qDedupE2e _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramCapped _),
     "q_minhash_wide" -> (qMinhashWide _),

@@ -643,6 +643,29 @@ object OracleQueries {
          |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
          |SELECT id, min(label) AS keeper FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // composed dedup: the surviving corpus after dropping every
+    // non-keeper member of each connected component
+    "q_dedup_e2e" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
+         |thm AS (SELECT id, md5(tk) AS md FROM tok0),
+         |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
+         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id),
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM sig a JOIN sig b ON a.id < b.id
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         |keep AS (SELECT id, min(label) AS keeper FROM walk GROUP BY 1)
+         |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
+         |FROM corpus c LEFT JOIN keep k ON c.doc_id = k.id
+         |WHERE k.id IS NULL OR k.keeper = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       s"""WITH $corpusCte,
          |$shChain,

@@ -60,7 +60,33 @@ object WorkflowJson {
     // generic projection/filter escape hatches (SQL fragments)
     "select" -> ((p, df) =>
       df.selectExpr(p.elements.asScala.map(_.asText).toSeq: _*)),
-    "filter" -> ((p, df) => df.filter(p.asText))
+    "filter" -> ((p, df) => df.filter(p.asText)),
+    // ---- training-data pipeline steps (SURVEY §2.12) ----------------
+    // exact dedup: keep the min-id doc per identical text
+    "dedup_exact" -> { (p, df) =>
+      val id = p.get("id").asText; val text = p.get("text").asText
+      df.join(graft.text.Dedup.exact(df, id, text)
+        .select(col("keeper").as(id)), Seq(id), "left_semi")
+    },
+    // near-dup removal: simhash pairs -> connected components -> keep
+    // one doc per cluster (params: id, text, maxHamming)
+    "dedup_near" -> { (p, df) =>
+      val id = p.get("id").asText; val text = p.get("text").asText
+      val mh = if (p.has("maxHamming")) p.get("maxHamming").asInt else 3
+      graft.text.Dedup.keepClusterKeepers(df, id,
+        graft.text.Dedup.simhashPairs(df, id, text, mh))
+    },
+    // text-quality feature columns (params: text)
+    "quality" -> { (p, df) =>
+      val t = col(p.get("text").asText)
+      df.withColumn("n_char", length(t).cast("long"))
+        .withColumn("n_tok", graft.text.TextOps.nTokens(t))
+        .withColumn("mean_tok_len", graft.text.TextOps.meanTokenLen(t))
+    },
+    // language id (params: text)
+    "lang_id" -> ((p, df) =>
+      df.withColumn("pred_lang",
+        graft.text.TextOps.langId(col(p.get("text").asText))))
   )
 
   def parse(json: String): JsonNode = new ObjectMapper().readTree(json)

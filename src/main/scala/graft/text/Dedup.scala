@@ -341,6 +341,17 @@ object Dedup {
     lab.select(col("id"), col("label").as("keeper"))
   }
 
+  /** End-to-end near-dup REMOVAL (the composed operator a training-data
+    * pipeline runs): keep exactly one doc — the min-id cluster keeper —
+    * per connected component of `pairs`, plus every doc that appears in
+    * no pair. One anti-join against the (linear-sized) drop list. */
+  def keepClusterKeepers(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("id") =!= col("keeper"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Shared Jaccard scoring tail: (id_a, id_b, common) + the distinct
     * shingle relation -> thresholded (..., n_a, n_b, jaccard). */
   private def scoreCommon(common: DataFrame, sh: DataFrame,

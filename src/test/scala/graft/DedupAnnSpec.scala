@@ -256,6 +256,13 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(got.count { case (id, k) => id == k } == 3)
   }
 
+  test("keepClusterKeepers: survivors = component keepers + untouched") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val survivors = Dedup.keepClusterKeepers(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L)) // 2,3 fold into keeper 1
+  }
+
   test("band-bucket cap: generous cap is survivor-identical, cap=1 drops") {
     def mh(cap: Option[Int]) =
       Dedup.minhashLsh(docs, "doc_id", "text", 0.4, maxBucket = cap)

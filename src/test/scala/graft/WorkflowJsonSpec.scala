@@ -39,6 +39,35 @@ class WorkflowJsonSpec extends AnyFunSuite {
     assert(out("window").count() > 0)
   }
 
+  test("training-data steps: declarative chain == hand-built pipeline") {
+    val j =
+      """{
+        |  "clean": {
+        |    "inp": "documents",
+        |    "operations": {
+        |      "dedup_near": {"id": "doc_id", "text": "text", "maxHamming": 3},
+        |      "quality": {"text": "text"},
+        |      "lang_id": {"text": "text"},
+        |      "filter": "n_tok >= 3",
+        |      "select": ["doc_id", "n_char", "pred_lang"]
+        |    }
+        |  }
+        |}""".stripMargin
+    val got = WorkflowJson.run(spark, sfDir, j)("clean")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = graft.sources.Pages.table(spark, sfDir, "documents")
+    val want = graft.text.Dedup.keepClusterKeepers(docs, "doc_id",
+        graft.text.Dedup.simhashPairs(docs, "doc_id", "text", 3))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_char"),
+        graft.text.TextOps.langId(col("text")).as("pred_lang"),
+        graft.text.TextOps.nTokens(col("text")).as("n_tok"))
+      .filter(col("n_tok") >= 3).drop("n_tok")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
   test("unknown operation fails fast with its name") {
     val bad = """{"t": {"inp": "pages", "operations": {"maskkk_raster": {}}}}"""
     val e = intercept[IllegalArgumentException] {
