@@ -19,8 +19,13 @@ object Bench {
 
   private def session(cpus: Int): SparkSession = Sessions.local(cpus)
 
-  /** Execute the full plan (all columns) and return wall seconds. */
-  private def time(df: DataFrame): Double = {
+  /** Execute the full plan (all columns) and return wall seconds.
+    * By-name parameter: queries that run driver-side actions while
+    * BUILDING the plan (minhashLsh's candidate count, the filename
+    * pairing's partition offsets, cluster propagation rounds) must have
+    * that work inside the timer — a by-value argument would evaluate it
+    * before t0 and under-report those queries. */
+  private def time(df: => DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9

@@ -588,6 +588,16 @@ object SparkEntry {
         "doc_id", "text", 0.4, numHashes = 128, rowsPerBand = 8)
       .orderBy("id_a", "id_b")
 
+  /** The composed C4-style corpus-cleaning flagship: quality gate ->
+    * language gate -> exact dedup -> near-dup cluster removal (every
+    * stage an already-gated operator; the composition verified
+    * end-to-end). */
+  def qCleanCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Clean.cleanCorpus(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_tok"), col("pred_lang"))
+      .orderBy("doc_id")
+
   /** Language-ID by marker-token votes (n-gram heuristic family). */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextOps
@@ -746,6 +756,7 @@ object SparkEntry {
     "q_simhash_capped" -> (qSimhashCapped _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_e2e" -> (qDedupE2e _),
+    "q_clean_corpus" -> (qCleanCorpus _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramCapped _),
     "q_minhash_wide" -> (qMinhashWide _),

@@ -534,14 +534,37 @@ object OracleQueries {
        |${jaccardTail(threshold)}""".stripMargin
   }
 
+  /** SimHash signature CTE chain over src(id, text) -> out(id, sig)
+    * (SimHash.sig60 parity). */
+  private def simhashChain(src: String, out: String): String =
+    s"""${out}_tk AS (SELECT id, unnest(string_split(text, ' ')) AS tk FROM $src),
+       |${out}_md AS (SELECT id, md5(tk) AS md FROM ${out}_tk),
+       |${out}_h AS (SELECT id, ${h60FromMd("md")} AS h FROM ${out}_md),
+       |$out AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM ${out}_h GROUP BY id)""".stripMargin
+
+  /** Language-pred CTE chain over src(id, text) -> out(id, text, pred)
+    * (TextOps.langId parity; mirrors the q_lang_id oracle). */
+  private def langPredChain(src: String, out: String): String = {
+    def score(markers: Seq[String]) = markers
+      .map(m => s"len(list_filter(t, x -> x = '$m'))").mkString(" + ")
+    val cols = graft.text.TextOps.langMarkers
+      .map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }
+      .mkString(",\n  ")
+    val names = graft.text.TextOps.langMarkers.map(_._1)
+    val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val pred = names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'unknown' END")
+    s"""${out}_tok AS (SELECT id, text, string_split(text, ' ') AS t FROM $src),
+       |${out}_sc AS (SELECT id, text, $cols FROM ${out}_tok),
+       |$out AS (SELECT id, text, $pred AS pred FROM ${out}_sc)""".stripMargin
+  }
+
   /** Dedup.simhashPairs parity (shared by the capped configuration —
     * the cap is survivor-neutral on the test corpus by construction). */
   private lazy val simhashPairsSql: String =
     s"""WITH $corpusCte,
-       |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
-       |thm AS (SELECT id, md5(tk) AS md FROM tok0),
-       |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
-       |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id)
+       |c0 AS (SELECT doc_id AS id, text FROM corpus),
+       |${simhashChain("c0", "sig")}
        |SELECT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
        |FROM sig a JOIN sig b ON a.id < b.id
@@ -665,6 +688,38 @@ object OracleQueries {
          |FROM corpus c LEFT JOIN keep k ON c.doc_id = k.id
          |WHERE k.id IS NULL OR k.keeper = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    // Clean.cleanCorpus parity: quality gate -> lang gate -> exact
+    // dedup (min-id per md5) -> simhash CC near-dup removal, composed
+    // in the SAME order as the Spark pipeline
+    "q_clean_corpus" ->
+      s"""WITH RECURSIVE $corpusCte,
+         |c0 AS (SELECT doc_id AS id, text FROM corpus),
+         |${langPredChain("c0", "lp")},
+         |qf AS (SELECT id, text, pred,
+         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok
+         |  FROM lp),
+         |f AS (SELECT * FROM qf WHERE n_tok >= 15
+         |  AND (CAST(length(text) AS DOUBLE) - CAST(n_tok - 1 AS DOUBLE))
+         |      / CAST(n_tok AS DOUBLE) <= 4.9
+         |  AND pred <> 'unknown'),
+         |ek AS (SELECT min(id) AS id FROM f GROUP BY md5(text)),
+         |kept AS (SELECT f.* FROM f JOIN ek ON f.id = ek.id),
+         |${simhashChain("kept", "ks")},
+         |prs AS (SELECT a.id AS id_a, b.id AS id_b
+         |  FROM ks a JOIN ks b ON a.id < b.id
+         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |walk(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
+         |keep2 AS (SELECT id, min(label) AS keeper FROM walk GROUP BY 1)
+         |SELECT kept.id AS doc_id, n_tok, pred AS pred_lang
+         |FROM kept LEFT JOIN keep2 ON kept.id = keep2.id
+         |WHERE keep2.id IS NULL OR keep2.keeper = kept.id
+         |ORDER BY 1""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $corpusCte,
