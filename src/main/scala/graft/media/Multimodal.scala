@@ -25,16 +25,35 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, byte_len: Int, digest: String,
                            features: Array[Float])
 
+  /** True iff the payload starts with a magic header ImageIO can
+    * decode (PNG / JPEG / GIF / BMP) — the cheap pre-gate that keeps
+    * per-row reader-registry scans out of all-text corpora. */
+  def looksLikeImage(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && (
+      (payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N') ||
+      (payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte) ||            // JPEG
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
+      (payload(0) == 'B' && payload(1) == 'M'))
+
   /** Real image decode (JDK ImageIO — PNG/JPEG/BMP/GIF): features are
     * (width, height, bands, mean of each of up to 3 channels) — the
     * shape a downstream vision-model filter consumes. Non-image bytes
     * (or a codec-less modality) return null so callers can route them
     * to the stand-in. Channel means are exact integer sums divided once
-    * — deterministic across runs and parallelism. */
+    * — deterministic across runs and parallelism.
+    *
+    * Robustness: the catch is NonFatal, not just IOException — ImageIO
+    * readers throw RuntimeExceptions (array bounds, CMM/ICC errors) on
+    * payloads with a valid magic but a corrupt body, and a cleaning
+    * pipeline must fall back, not kill the task. The disk-backed
+    * ImageIO stream cache is disabled once per JVM (the input is
+    * already in memory — a temp file per row is pure overhead). */
   def decodeReal(payload: Array[Byte]): Array[Float] = {
+    if (!looksLikeImage(payload)) return null
+    javax.imageio.ImageIO.setUseCache(false) // idempotent, cheap
     val img =
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) null
     else {
       val w = img.getWidth; val h = img.getHeight

@@ -92,17 +92,31 @@ object Extract {
   def saveXyJson(xy: DataFrame, bands: Seq[String], path: String): Unit = {
     val rows = xy
       .select((bands.map(b => col(b).cast("double")) :+
-        col("label_id") :+ col("classname")): _*)
-      .orderBy((col("label_id") +: bands.map(col)): _*)
+        col("label_id").cast("long") :+ col("classname")): _*)
+      .orderBy((col("label_id").cast("long") +: bands.map(col)): _*)
       .collect()
+    // Python json.dumps parity: integral doubles print without the
+    // fraction, non-finite values print BARE (NaN / Infinity —
+    // allow_nan is True in the reference's encoder); loadXyJson reads
+    // them back via Jackson's non-numeric-numbers feature
     def num(d: Double): String =
-      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+      if (d.isNaN) "NaN"
+      else if (d.isPosInfinity) "Infinity"
+      else if (d.isNegInfinity) "-Infinity"
+      else if (d == math.rint(d)) d.toLong.toString
+      else d.toString
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val xStr = rows.map(r => bands.indices.map(i => num(r.getDouble(i)))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val yStr = rows.map(_.getLong(bands.length)).mkString("[", ", ", "]")
     val labels = rows.map(r => (r.getString(bands.length + 1),
         r.getLong(bands.length))).distinct.sortBy(_._2)
-      .map { case (name, id) => s""""${name}": "${id}"""" }
+      .map { case (name, id) => s""""${esc(name)}": "${id}"""" }
       .mkString("{", ", ", "}")
     val json = s"""{"X": $xStr, "y": $yStr, "labels_map": $labels}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -110,18 +124,23 @@ object Extract {
   }
 
   /** S10 JSON load (extract.py:141-147 `load_xy`): (xy rows with the
-    * given band column names + label_id, labels_map). */
+    * given band column names + label_id, labels_map). Jackson with
+    * non-numeric numbers enabled — the reference's encoder emits bare
+    * NaN/Infinity for non-finite floats. */
   def loadXyJson(spark: org.apache.spark.sql.SparkSession, bands: Seq[String],
                  path: String): (DataFrame, Map[String, String]) = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val j = JsonMethods.parse(
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8"))
-    implicit val fmts: Formats = DefaultFormats
-    val xs = (j \ "X").extract[Seq[Seq[Double]]]
-    val ys = (j \ "y").extract[Seq[Long]]
-    val labelsMap = (j \ "labels_map").extract[Map[String, String]]
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.core.json.JsonReadFeature
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+      .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS.mappedFeature)
+    val j = mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    val xs = j.get("X").elements.asScala
+      .map(row => row.elements.asScala.map(_.asDouble).toSeq).toSeq
+    val ys = j.get("y").elements.asScala.map(_.asLong).toSeq
+    val labelsMap = j.get("labels_map").properties.asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
     val rows = xs.zip(ys).map { case (x, y) =>
       org.apache.spark.sql.Row.fromSeq(x :+ y)
     }

@@ -556,8 +556,28 @@ object OracleQueries {
       .mkString("CASE ", " ", " ELSE 'unknown' END")
     s"""${out}_tok AS (SELECT id, text, string_split(text, ' ') AS t FROM $src),
        |${out}_sc AS (SELECT id, text, $cols FROM ${out}_tok),
-       |$out AS (SELECT id, text, $pred AS pred FROM ${out}_sc)""".stripMargin
+       |$out AS (SELECT id, text, ${names.map("s_" + _).mkString(", ")},
+       |  $pred AS pred FROM ${out}_sc)""".stripMargin
   }
+
+  /** Connected-components closure over prs(id_a, id_b) ->
+    * out(id, keeper) — min-label via the recursive walk (the enclosing
+    * statement must say WITH RECURSIVE). Single source of truth for
+    * every cluster-keeper oracle. */
+  private def ccChain(prs: String, out: String): String =
+    s"""${out}_e AS (SELECT id_a AS src, id_b AS dst FROM $prs
+       |  UNION ALL SELECT id_b, id_a FROM $prs),
+       |${out}_w(id, label) AS (
+       |  SELECT src, src FROM ${out}_e
+       |  UNION
+       |  SELECT e.src, w.label FROM ${out}_e e JOIN ${out}_w w ON w.id = e.dst),
+       |$out AS (SELECT id, min(label) AS keeper FROM ${out}_w GROUP BY 1)""".stripMargin
+
+  /** Simhash candidate pairs over a sig relation sig(id, sig). */
+  private def simhashPrs(sig: String, out: String): String =
+    s"""$out AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM $sig a JOIN $sig b ON a.id < b.id
+       |  AND bit_count(xor(a.sig, b.sig)) <= 3)""".stripMargin
 
   /** Dedup.simhashPairs parity (shared by the capped configuration —
     * the cap is survivor-neutral on the test corpus by construction). */
@@ -647,43 +667,24 @@ object OracleQueries {
     "q_simhash_capped" -> simhashPairsSql,
 
     // cluster keepers over the simhash pairs: the min-label closure
-    // replayed as a recursive CTE (walk enumerates every (id,
+    // replayed as a recursive CTE (the walk enumerates every (id,
     // reachable-id) pair of a component; min = the keeper)
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $corpusCte,
-         |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
-         |thm AS (SELECT id, md5(tk) AS md FROM tok0),
-         |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
-         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id),
-         |prs AS (SELECT a.id AS id_a, b.id AS id_b
-         |  FROM sig a JOIN sig b ON a.id < b.id
-         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION ALL SELECT id_b, id_a FROM prs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst)
-         |SELECT id, min(label) AS keeper FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+         |c0 AS (SELECT doc_id AS id, text FROM corpus),
+         |${simhashChain("c0", "sig")},
+         |${simhashPrs("sig", "prs")},
+         |${ccChain("prs", "keep")}
+         |SELECT id, keeper FROM keep ORDER BY 1""".stripMargin,
 
     // composed dedup: the surviving corpus after dropping every
     // non-keeper member of each connected component
     "q_dedup_e2e" ->
       s"""WITH RECURSIVE $corpusCte,
-         |tok0 AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tk FROM corpus),
-         |thm AS (SELECT id, md5(tk) AS md FROM tok0),
-         |th AS (SELECT id, ${h60FromMd("md")} AS h FROM thm),
-         |sig AS (SELECT id, CAST($simhashBitSum AS BIGINT) AS sig FROM th GROUP BY id),
-         |prs AS (SELECT a.id AS id_a, b.id AS id_b
-         |  FROM sig a JOIN sig b ON a.id < b.id
-         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION ALL SELECT id_b, id_a FROM prs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
-         |keep AS (SELECT id, min(label) AS keeper FROM walk GROUP BY 1)
+         |c0 AS (SELECT doc_id AS id, text FROM corpus),
+         |${simhashChain("c0", "sig")},
+         |${simhashPrs("sig", "prs")},
+         |${ccChain("prs", "keep")}
          |SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS n_chars
          |FROM corpus c LEFT JOIN keep k ON c.doc_id = k.id
          |WHERE k.id IS NULL OR k.keeper = c.doc_id
@@ -706,16 +707,8 @@ object OracleQueries {
          |ek AS (SELECT min(id) AS id FROM f GROUP BY md5(text)),
          |kept AS (SELECT f.* FROM f JOIN ek ON f.id = ek.id),
          |${simhashChain("kept", "ks")},
-         |prs AS (SELECT a.id AS id_a, b.id AS id_b
-         |  FROM ks a JOIN ks b ON a.id < b.id
-         |  AND bit_count(xor(a.sig, b.sig)) <= 3),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION ALL SELECT id_b, id_a FROM prs),
-         |walk(id, label) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst),
-         |keep2 AS (SELECT id, min(label) AS keeper FROM walk GROUP BY 1)
+         |${simhashPrs("ks", "prs")},
+         |${ccChain("prs", "keep2")}
          |SELECT kept.id AS doc_id, n_tok, pred AS pred_lang
          |FROM kept LEFT JOIN keep2 ON kept.id = keep2.id
          |WHERE keep2.id IS NULL OR keep2.keeper = kept.id
@@ -739,21 +732,11 @@ object OracleQueries {
          |${jaccardTail(0.3)}""".stripMargin,
 
     "q_lang_id" -> {
-      def score(markers: Seq[String]) = markers
-        .map(m => s"len(list_filter(t, x -> x = '$m'))").mkString(" + ")
-      val cols = graft.text.TextOps.langMarkers
-        .map { case (l, ms) => s"CAST(${score(ms)} AS BIGINT) AS s_$l" }
-        .mkString(",\n  ")
       val names = graft.text.TextOps.langMarkers.map(_._1)
-      val best = s"greatest(${names.map("s_" + _).mkString(", ")})"
-      val pred = names.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'")
-        .mkString("CASE ", " ", " ELSE 'unknown' END")
-      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sc AS (SELECT doc_id,
-         |  $cols
-         |  FROM tok)
-         |SELECT doc_id, ${names.map("s_" + _).mkString(", ")}, $pred AS pred
-         |FROM sc ORDER BY doc_id""".stripMargin
+      s"""WITH d0 AS (SELECT doc_id AS id, text FROM documents),
+         |${langPredChain("d0", "lp")}
+         |SELECT id AS doc_id, ${names.map("s_" + _).mkString(", ")}, pred
+         |FROM lp ORDER BY doc_id""".stripMargin
     },
 
     "q_quality" ->

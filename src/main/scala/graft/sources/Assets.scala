@@ -85,19 +85,30 @@ object Assets {
     * `Window.orderBy(...)`, which moved the whole listing through ONE
     * task (fine at catalog scale, a funnel at a 10^7-file listing). */
   private def rankByKeyName(df: DataFrame): DataFrame = {
-    val ranged = df.repartitionByRange(col("key"), col("name"))
+    // localCheckpoint BEFORE reading twice: the counts job and the
+    // downstream consumer must see ONE materialization —
+    // repartitionByRange samples its bounds with an RDD-id-derived
+    // seed, so two executions of the same plan can place a boundary row
+    // in different partitions, and offsets computed against one
+    // placement would be added to ranks computed against another
+    val local = df.repartitionByRange(col("key"), col("name"))
       .withColumn("part_", spark_partition_id())
-    val local = ranged.withColumn("lrk_", row_number().over(
-      Window.partitionBy("part_").orderBy("key", "name")))
+      .withColumn("lrk_", row_number().over(
+        Window.partitionBy("part_").orderBy("key", "name")))
+      .localCheckpoint(true)
     val counts = local.groupBy("part_").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (p, off)) =>
-      when(col("part_") === p, lit(off)).otherwise(acc)
-    }
-    local.withColumn("rk", (col("lrk_") + offExpr).cast("int"))
-      .drop("part_", "lrk_")
+      .zip(counts.scanLeft(0L)(_ + _._2).init)
+    // offsets join as a broadcast relation, NOT a per-partition
+    // when()-chain: at production shuffle.partitions (hundreds+) a
+    // nested CASE that deep re-creates the janino 64KB blow-up shape
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("part_", "off_")
+    local.join(broadcast(offDf), Seq("part_"))
+      .withColumn("rk", (col("lrk_") + col("off_")).cast("int"))
+      .drop("part_", "lrk_", "off_")
   }
 
   /** J8: pair ref/target overlap polys by digit-key order, attach each

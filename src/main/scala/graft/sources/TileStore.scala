@@ -102,11 +102,12 @@ object TileStore {
     val dir = new Path(snapshotDir(store))
     val f = fs(spark, store)
     if (!f.exists(dir)) Seq.empty
-    // strict s<digits> match: a stray file in _snapshots (partially
-    // written marker on a non-atomic FS, unrelated junk) must be
+    // strict s<digits> match, digits bounded to Long range: a stray
+    // file in _snapshots (partially written marker on a non-atomic FS,
+    // unrelated junk, even an adversarial s<20-digits> name) must be
     // ignored, not NumberFormatException every read/commit
     else f.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("s\\d+")).sortBy(_.drop(1).toLong).toSeq
+      .filter(_.matches("s\\d{1,18}")).sortBy(_.drop(1).toLong).toSeq
   }
 
   /** Snapshot-carrying atomic commit: writes `df` (must carry a LONG

@@ -332,6 +332,12 @@ object Dedup {
       val changed = next
         .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
         .filter(col("label") =!= col("old_label")).count()
+      // the superseded round's checkpoint blocks are dead the moment
+      // `changed` has been counted — release them explicitly
+      // (Dataset.unpersist is a no-op for checkpoints, and waiting for
+      // the ContextCleaner leaks O(rounds x ids) storage to a
+      // long-lived caller)
+      graft.util.Checkpoints.release(lab)
       lab = next
       converged = changed == 0
       round += 1
