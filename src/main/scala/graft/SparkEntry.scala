@@ -678,6 +678,17 @@ object SparkEntry {
     graft.vector.Ann.lshTopK(queries, corpus, 64, 3).orderBy("qid", "rank")
   }
 
+  /** Multi-probe LSH ANN: own bucket + the least-confident plane's
+    * flipped bucket per query (the standard recall lever — corpus-side
+    * work unchanged, query side doubles). */
+  def qAnnLshMp(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = quantizedVectors(spark, dir)
+    val queries = corpus.filter(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    graft.vector.Ann.lshTopKMultiProbe(queries, corpus, 64, 3)
+      .orderBy("qid", "rank")
+  }
+
   /** IVF-bucketed ANN (coarse-quantizer scale path): nearest-centroid
     * cells, 2-probe equi-join, exact re-rank within probed cells. */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -768,6 +779,7 @@ object SparkEntry {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_dedup_embed_banded" -> (qDedupEmbedBanded _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_lsh_mp" -> (qAnnLshMp _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_multimodal" -> (qMultimodal _),
     "q_lineage_resume" -> (qLineageResume _)

@@ -781,6 +781,36 @@ object OracleQueries {
          |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
          |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // Ann.lshTopKMultiProbe parity: per-plane dots, least-|dot| plane's
+    // bit flipped as the second probe, exact re-rank over both buckets
+    "q_ann_lsh_mp" -> {
+      val n = graft.vector.Ann.NumPlanes
+      val dots = (0 until n).map { p =>
+        val w = graft.vector.Ann.planeArray(p, 64).mkString("[", ", ", "]")
+        s"${dotQSql(w, "qv")} AS d$p"
+      }.mkString(",\n  ")
+      val sigFromDots = (0 until n)
+        .map(p => s"(CASE WHEN d$p > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      val minAbs = s"least(${(0 until n).map(p => s"abs(d$p)").mkString(", ")})"
+      val flipMask = (0 until n)
+        .map(p => s"WHEN abs(d$p) = m THEN ${1L << p}")
+        .mkString("CASE ", " ", " END")
+      s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
+         |qv0 AS (SELECT id AS qid, v AS qv FROM cv WHERE id % 50 = 0),
+         |qd AS (SELECT qid, qv, $dots FROM qv0),
+         |qm AS (SELECT *, $minAbs AS m FROM qd),
+         |qs AS (SELECT qid, qv, CAST($sigFromDots AS BIGINT) AS sig,
+         |  CAST($flipMask AS BIGINT) AS fm FROM qm),
+         |qp AS (SELECT qid, qv, unnest([sig, xor(sig, fm)]) AS psig FROM qs),
+         |cs AS (SELECT id, v, CAST(${lshSigSql("v")} AS BIGINT) AS sig FROM cv),
+         |d AS (SELECT qid, id, ${cosineQSql("qv", "v")} AS cos
+         |  FROM qp JOIN cs ON qp.psig = cs.sig),
+         |r AS (SELECT qid, id, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rank FROM d)
+         |SELECT qid, rank, id, cos FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+    },
+
     "q_ann_ivf" ->
       s"""WITH cv AS (SELECT vec_id AS id, ${quantizeSql("embedding")} AS v FROM embeddings),
          |qv0 AS (SELECT id AS qid, v AS qv FROM cv WHERE id % 50 = 0),

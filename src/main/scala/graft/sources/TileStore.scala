@@ -207,6 +207,37 @@ object TileStore {
     scanCover(spark, dataDir(store, snapshotId), cover, res, prefixShift)
   }
 
+  /** Iceberg-style `expire_snapshots`: drop all but the newest
+    * `keepLast` committed snapshots and every unmarked orphan snap dir
+    * (crashed attempts). Order matters for readers: the MARKER is
+    * removed first, so a concurrent reader can never resolve a
+    * snapshot whose data is mid-delete — it either reads the fully
+    * intact snapshot or doesn't see it at all. Single-writer per store
+    * by contract (same as commit). Returns the expired snapshot ids. */
+  def expireSnapshots(spark: SparkSession, store: String,
+                      keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val f = fs(spark, store)
+    val committed = snapshots(spark, store)
+    val expire = committed.dropRight(keepLast)
+    expire.foreach { id =>
+      f.delete(new Path(snapshotDir(store), id), false) // marker first
+      f.delete(new Path(dataDir(store, id)), true)
+    }
+    // orphan data dirs with no marker (crashed before publish): the
+    // NEXT commit would reuse the lowest free sequence and overwrite,
+    // but until then they hold dead bytes — vacuum them too
+    val dataRoot = new Path(s"$store/data")
+    val keep = snapshots(spark, store).toSet
+    val orphans =
+      if (!f.exists(dataRoot)) Seq.empty
+      else f.listStatus(dataRoot).map(_.getPath).toSeq
+        .filter(p => p.getName.startsWith("snap="))
+        .filterNot(p => keep.contains(p.getName.stripPrefix("snap=")))
+    orphans.foreach(p => f.delete(p, true))
+    expire
+  }
+
   /** R3 pyramid streamed to storage (the at-scale form of
     * Resample.pyramid): each level is written under level=<r> as soon
     * as it is built from the previous one, and the parent's cache is

@@ -267,4 +267,44 @@ object Ann {
     graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
       ascending = false)
   }
+
+  /** Multi-probe LSH ANN (the standard recall lever for hyperplane
+    * LSH): each query probes its OWN bucket plus the bucket reached by
+    * flipping its LEAST-CONFIDENT plane — the plane with the smallest
+    * |dot(plane, qv)| (a point near a hyperplane is the one whose
+    * signature bit is most likely wrong; ties -> lower plane id, so
+    * the probe set is deterministic). Doubles candidate coverage with
+    * ZERO extra corpus work — only the (small, broadcast) query side
+    * explodes to 2 rows. Deterministic contract: exact top-k among
+    * corpus vectors in either probed bucket. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, dim: Int,
+                        k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+    val withDots = queries
+      .withColumn("qn2", dotQ(col("qv"), col("qv")))
+      .select(col("*") +: (0 until numPlanes).map { p =>
+        dotQ(array(planeArray(p, dim).map(lit): _*), col("qv")).as(s"d$p")
+      }: _*)
+    val sig = (0 until numPlanes).map(p =>
+      when(col(s"d$p") > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val minAbs = least((0 until numPlanes).map(p => abs(col(s"d$p"))): _*)
+    // first-match when-chain -> the BIT MASK of the least-confident
+    // plane (ties -> lowest plane id)
+    val flipMask = (0 until numPlanes).tail.foldLeft(
+      when(abs(col("d0")) === minAbs, lit(1L))) { (acc, p) =>
+        acc.when(abs(col(s"d$p")) === minAbs, lit(1L << p))
+      }
+    val q = withDots
+      .withColumn("sig0", sig)
+      .withColumn("probe", explode(array(col("sig0"),
+        col("sig0").bitwiseXOR(flipMask))))
+      .select(col("qid"), col("qv"), col("qn2"), col("probe").as("sig"))
+    val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
+      .withColumn("n2", dotQ(col("v"), col("v")))
+    val scored = c.join(broadcast(q), Seq("sig"))
+      .select(col("qid"), col("id"),
+        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
+          .as("cos"))
+    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
+      ascending = false)
+  }
 }

@@ -356,4 +356,21 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(rank1.length == 20)
     rank1.foreach(r => assert(r.getLong(0) == r.getLong(2))) // self is top
   }
+
+  test("multi-probe lsh: candidate pool is a superset of single-bucket") {
+    val q = vecs.select($"id".as("qid"), Ann.quantize($"emb").as("qv"))
+    val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val single = rows(Ann.lshTopK(q, c, 64, 5))
+    val mp = rows(Ann.lshTopKMultiProbe(q, c, 64, 5))
+    // two probed buckets cover at least the single bucket: every query
+    // returns at least as many rows, self still at rank 1, and the
+    // rank-1 score can only improve
+    assert(mp.length >= single.length)
+    val mp1 = mp.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    val s1 = single.filter(_._2 == 1).map(r => r._1 -> r._4).toMap
+    s1.foreach { case (qid, cos) => assert(mp1(qid) >= cos, s"qid=$qid") }
+    mp.filter(_._2 == 1).foreach(r => assert(r._1 == r._3))
+  }
 }

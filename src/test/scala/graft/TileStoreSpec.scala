@@ -86,6 +86,26 @@ class TileStoreSpec extends AnyFunSuite {
     assert(n > 0 && n < 5000)
   }
 
+  test("expireSnapshots: keeps newest N, vacuums orphans, readers safe") {
+    val store = tmpDir("ts-expire")
+    TileStore.commit(cells, store, "jobA")                              // s0
+    TileStore.commit(cells.withColumn("v", col("v") + 1), store, "jobA") // s1
+    TileStore.commit(cells.withColumn("v", col("v") + 2), store, "jobA") // s2
+    TileStore.write(cells, TileStore.dataDir(store, "s9"))              // orphan
+    val expired = TileStore.expireSnapshots(spark, store, keepLast = 2)
+    assert(expired == Seq("s0"))
+    assert(TileStore.snapshots(spark, store) == Seq("s1", "s2"))
+    intercept[IllegalArgumentException] { TileStore.readAt(spark, store, "s0") }
+    assert(TileStore.readLatest(spark, store).count() == 5000)
+    // both the expired snapshot's data and the orphan dir are gone
+    val f = new java.io.File(s"$store/data")
+    assert(f.listFiles.map(_.getName).toSet == Set("snap=s1", "snap=s2"))
+    // lineage only reflects surviving snapshots
+    val snaps = TileStore.lineage(spark, store)
+      .select("snapshot_id").distinct().collect().map(_.getString(0)).toSet
+    assert(snaps == Set("s1", "s2"))
+  }
+
   test("commit rows_in: honest upstream counts when input given") {
     val store = tmpDir("ts-rowsin")
     // committed relation = input aggregated per cell (a real transform)
