@@ -248,6 +248,32 @@ object SparkEntry {
       .orderBy("rk")
   }
 
+  /** S9 Sentinel2-style catalog parse over a deterministic listing
+    * (sent2.py:11-35 grammar: tile T\d\d\D\D\D, 8-digit date, band,
+    * trailing attr; non-conforming names drop). Every 7th doc emits a
+    * decoy that matches no band. */
+  def qCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Seq("B02", "B03", "B04", "B05", "B06", "B07", "B08",
+      "B8A", "B09", "B11", "B12", "AOT", "SCL", "TCI", "WVP")
+    val d = Pages.documents(spark, dir).select(col("doc_id"))
+      .withColumn("tile", concat(lit("T"),
+        (lit(10) + col("doc_id") % 50).cast("string"),
+        expr("char(65 + doc_id % 26)"), expr("char(66 + (doc_id * 3) % 24)"),
+        expr("char(67 + (doc_id * 7) % 22)")))
+      .withColumn("date", (lit(20200700) + col("doc_id") % 30).cast("string"))
+      .withColumn("band", element_at(
+        array(bands.map(lit): _*), (col("doc_id") % 15).cast("int") + 1))
+      .withColumn("attr",
+        when(col("doc_id") % 3 === 0, "_10m")
+          .when(col("doc_id") % 3 === 1, "_20m").otherwise(""))
+    val listing = d.select(
+      when(col("doc_id") % 7 === 0,
+        concat(lit("/s2/readme_"), col("doc_id").cast("string"), lit(".txt")))
+        .otherwise(concat(lit("/s2/"), col("tile"), lit("_"), col("date"),
+          lit("_"), col("band"), col("attr"), lit(".jp2"))).as("path"))
+    graft.sources.Catalog.entries(listing).orderBy("path")
+  }
+
   /** J5: semi-join — keep (source, lang) extents containing >= 1
     * Japanese customer point (LEFT SEMI replaces the break-on-first). */
   def qSemiPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -739,6 +765,7 @@ object SparkEntry {
     "q_overlaps_cells" -> (qOverlapsCells _),
     "q_overlap_boxes" -> (qOverlapBoxes _),
     "q_asset_udm2" -> (qAssetUdm2 _),
+    "q_catalog" -> (qCatalog _),
     "q_overlap_pairing" -> (qOverlapPairing _),
     "q_one_vs_all" -> (qOneVsAll _),
     "q_semi_points" -> (qSemiPoints _),

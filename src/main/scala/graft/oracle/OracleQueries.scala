@@ -137,6 +137,41 @@ object OracleQueries {
          |  AND a.lat_min <= b.lat_max AND b.lat_min <= a.lat_max
          |ORDER BY 1, 2""".stripMargin,
 
+    // Catalog.entries parity (S9): same fixture derivation, same
+    // regex grammar (DuckDB RE2 and Java regex agree on these
+    // leftmost-first patterns — the gate verifies that bit-for-bit)
+    "q_catalog" -> {
+      val bands = Seq("B02", "B03", "B04", "B05", "B06", "B07", "B08",
+        "B8A", "B09", "B11", "B12", "AOT", "SCL", "TCI", "WVP")
+      val bandList = bands.map(b => s"'$b'").mkString("[", ", ", "]")
+      val bandAttrRe =
+        """^T\d{2}\D{3}_\d{8}.*_(B(?:02|03|04|05|06|07|08|8A|09|11|12)|AOT|SCL|TCI|WVP)(\w*)"""
+      s"""WITH b AS (SELECT doc_id,
+         |  'T' || CAST(10 + doc_id % 50 AS VARCHAR) ||
+         |    chr(CAST(65 + doc_id % 26 AS INT)) ||
+         |    chr(CAST(66 + (doc_id * 3) % 24 AS INT)) ||
+         |    chr(CAST(67 + (doc_id * 7) % 22 AS INT)) AS tile,
+         |  CAST(20200700 + doc_id % 30 AS VARCHAR) AS date_,
+         |  ($bandList)[CAST(doc_id % 15 AS INT) + 1] AS band,
+         |  CASE WHEN doc_id % 3 = 0 THEN '_10m'
+         |       WHEN doc_id % 3 = 1 THEN '_20m' ELSE '' END AS attr
+         |  FROM documents),
+         |listing AS (SELECT CASE WHEN doc_id % 7 = 0
+         |    THEN '/s2/readme_' || CAST(doc_id AS VARCHAR) || '.txt'
+         |    ELSE '/s2/' || tile || '_' || date_ || '_' || band || attr || '.jp2'
+         |  END AS path FROM b),
+         |e AS (SELECT path, regexp_extract(path, '([^/]*)$$', 1) AS name FROM listing),
+         |p AS (SELECT path,
+         |  regexp_extract(name, '^(T\\d{2}\\D{3})_', 1) AS tile,
+         |  regexp_extract(name, '^T\\d{2}\\D{3}_(\\d{8})', 1) AS "date",
+         |  regexp_extract(name, '$bandAttrRe', 1) AS band,
+         |  regexp_extract(name, '$bandAttrRe', 2) AS attr
+         |  FROM e)
+         |SELECT path, tile, "date", band, attr, band || attr AS key FROM p
+         |WHERE tile <> '' AND "date" <> '' AND band <> ''
+         |ORDER BY path""".stripMargin
+    },
+
     // Overlaps.distinctBoxes parity: keeper = first (src_a, src_b) per
     // identical intersection box (window rank replays Spark's
     // min(struct) deterministically)
