@@ -312,8 +312,14 @@ object Dedup {
     // leaf. (On a cluster, swap for checkpoint() if executor loss
     // during the loop must be survivable; the relation is one row per
     // distinct doc id in the pair set.)
-    var lab = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed labels with min(self, direct neighbors) — one aggregation
+    // that is exactly the loop's neighbor step, so star-shaped
+    // duplicate clusters (the common case) start already-converged and
+    // pay only the confirming round
+    var lab = e.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
