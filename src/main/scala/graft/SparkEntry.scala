@@ -552,16 +552,18 @@ object SparkEntry {
         graft.sources.Corpus.withDups(spark, dir), "doc_id", "text")
       .orderBy("id_a", "id_b")
 
-  /** Band-bucket size cap for the capped-gate configuration: generous
-    * enough that NO bucket on the test corpus is dropped, so the capped
-    * path must reproduce the uncapped oracle bit-for-bit (the gate
-    * proves the cap plumbing loses nothing it shouldn't; DedupSpec
-    * proves a tight cap actually drops). */
+  /** Band-bucket size cap for the capped-gate configuration. The
+    * oracle replays the cap itself (band keys -> bucket counts -> drop
+    * -> candidates from survivors), so the gate verifies the DROP
+    * semantics at any scale: at sf0.01 no bucket exceeds 64 and the
+    * output equals q_simhash; at sf0.1 hot buckets genuinely drop
+    * (1264 of 1462 pairs survive) and the oracle reproduces exactly
+    * which. */
   val SimhashMaxBucket = 64
 
   /** SimHash pairs through the CAPPED band-bucket path (the 100-TB
-    * guard against quadratic hot buckets) — same oracle as q_simhash:
-    * identical survivors on the test corpus. */
+    * guard against quadratic hot buckets), verified by the cap-aware
+    * oracle. */
   def qSimhashCapped(spark: SparkSession, dir: String): DataFrame =
     graft.text.Dedup.simhashPairs(
         graft.sources.Corpus.withDups(spark, dir), "doc_id", "text",

@@ -696,10 +696,34 @@ object OracleQueries {
 
     "q_simhash" -> simhashPairsSql,
 
-    // the capped band-bucket path is survivor-identical on the test
-    // corpus (cap > every bucket) — the SAME oracle statement verifies
-    // the cap plumbing loses nothing it shouldn't
-    "q_simhash_capped" -> simhashPairsSql,
+    // CAP-AWARE oracle: replays the band-bucket size cap itself —
+    // band keys, per-bucket counts, buckets above the cap dropped,
+    // candidates from the survivors only. At sf0.01 no bucket exceeds
+    // the cap (output == q_simhash); at sf0.1 the cap genuinely drops
+    // hot buckets and the oracle reproduces exactly which pairs
+    // survive — the drop semantics are verified, not assumed away
+    "q_simhash_capped" -> {
+      import graft.text.SimHash.{BandBits, NumBands}
+      val mask = (1L << BandBits) - 1L
+      val cap = graft.SparkEntry.SimhashMaxBucket
+      s"""WITH $corpusCte,
+         |c0 AS (SELECT doc_id AS id, text FROM corpus),
+         |${simhashChain("c0", "sig")},
+         |bnd AS (SELECT id, sig.sig AS sig, u.band,
+         |    (sig.sig >> (u.band * $BandBits)) & $mask AS k0
+         |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) u),
+         |sz AS (SELECT band, k0, count(*) AS n FROM bnd GROUP BY 1, 2),
+         |kp AS (SELECT bnd.* FROM bnd JOIN sz
+         |  ON bnd.band = sz.band AND bnd.k0 = sz.k0 WHERE sz.n <= $cap),
+         |prs0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM kp a JOIN kp b ON a.band = b.band AND a.k0 = b.k0
+         |    AND a.id < b.id)
+         |SELECT id_a, id_b, sig_a, sig_b,
+         |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |FROM prs0 WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // cluster keepers over the simhash pairs: the min-label closure
     // replayed as a recursive CTE (the walk enumerates every (id,
