@@ -117,6 +117,61 @@ class TileStreamSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L))
   }
 
+  test("streaming near-dup == batch simhash pairs within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near 1
+      (4L, "one two three four five six seven eight nine"))
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .nearDupPairs(pages, "doc_id", "text", "warc_ts")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    // two batches: pairs must surface across batch boundaries too
+    mem.addData((1L, docs(0)._2, t(0)), (4L, docs(3)._2, t(1)))
+    q.processAllAvailable()
+    mem.addData((2L, docs(1)._2, t(2)), (3L, docs(2)._2, t(3)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_stream")
+      .select("id_a", "id_b", "hamming").distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2).toLong)).toMap
+    // batch twin on the same rows
+    val want = graft.text.Dedup.simhashPairs(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("streaming near-dup: out-of-horizon state evicts (no stale pairs)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .nearDupPairs(pages, "doc_id", "text", "warc_ts", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    mem.addData((1L, text, t(0)))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1 (wm follows max event time
+    // minus 10 min), then send its duplicate: state must be gone
+    mem.addData((9L, "one two three four five six seven", t(60)))
+    q.processAllAvailable()
+    mem.addData((2L, text, t(61)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_evict").select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.contains((1L, 2L)), s"stale pair emitted: $got")
+  }
+
   test("streaming tile density == batch tile density on the same rows") {
     val rows = (0 until 300).map { i =>
       val tld = Seq("de", "jp", "io")(i % 3)
