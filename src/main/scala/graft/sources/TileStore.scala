@@ -221,7 +221,12 @@ object TileStore {
     val committed = snapshots(spark, store)
     val expire = committed.dropRight(keepLast)
     expire.foreach { id =>
-      f.delete(new Path(snapshotDir(store), id), false) // marker first
+      // marker FIRST, and abort loudly if it did not go: proceeding to
+      // delete the data of a still-resolvable snapshot would create
+      // exactly the committed-but-dataless state the ordering prevents
+      if (!f.delete(new Path(snapshotDir(store), id), false))
+        throw new java.io.IOException(
+          s"expireSnapshots: could not remove marker $id in $store")
       f.delete(new Path(dataDir(store, id)), true)
     }
     // orphan data dirs with no marker (crashed before publish): the

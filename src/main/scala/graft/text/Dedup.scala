@@ -193,16 +193,24 @@ object Dedup {
     * standard pigeonhole blocking), verify exact Hamming.
     * `maxBucket` caps band-bucket size before the quadratic self-join
     * (same 100-TB guard as candidates/capBuckets; None = exact). */
+  /** The (band, k0) struct array of a 60-bit signature column — the
+    * SINGLE source of the band layout, shared by the batch pair join
+    * and the streaming state keying (NearDupStream) so the two paths
+    * cannot drift. */
+  def simhashBandStructs(sig: Column): Column = {
+    import graft.text.SimHash.{BandBits, NumBands}
+    val mask = (1L << BandBits) - 1L
+    array((0 until NumBands).map(n => struct(lit(n).as("band"),
+      shiftright(sig, n * BandBits).bitwiseAND(mask).as("k0"))): _*)
+  }
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucket: Option[Int] = None): DataFrame = {
     import graft.functions.simhash60
-    import graft.text.SimHash.{BandBits, NumBands}
     val sig = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
-    val mask = (1L << BandBits) - 1L
     val nib0 = sig.select(col("id"), col("sig"),
-        explode(array((0 until NumBands).map(n => struct(lit(n).as("band"),
-          shiftright(col("sig"), n * BandBits).bitwiseAND(mask).as("k0"))): _*)).as("bk"))
+        explode(simhashBandStructs(col("sig"))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.k0").as("k0"))
     val nib = maxBucket.map(capBuckets(nib0, _)).getOrElse(nib0)
     val a = nib.alias("a"); val b = nib.alias("b")

@@ -250,15 +250,12 @@ object Ann {
       ascending = false)
   }
 
-  /** LSH-bucketed ANN: candidates share the full signature bucket; each
-    * query returns its exact top-k within the bucket (a recall-bounded
-    * approximation of cosineTopK — the deterministic contract is
-    * "top-k among same-signature corpus vectors"). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-              k: Int): DataFrame = {
-    val q = queries.withColumn("sig", lshSignature(col("qv"), dim))
-      .withColumn("qn2", dotQ(col("qv"), col("qv")))
-    val c = corpus.withColumn("sig", lshSignature(col("v"), dim))
+  /** Shared LSH scoring tail: probe relation q(qid, qv, qn2, sig)
+    * equi-joined to the signed corpus, exact cosine, two-phase top-k.
+    * Single source of truth for lshTopK and lshTopKMultiProbe. */
+  private def lshScoredTopK(q: DataFrame, corpus: DataFrame, dim: Int,
+                            numPlanes: Int, k: Int): DataFrame = {
+    val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
       .withColumn("n2", dotQ(col("v"), col("v")))
     val scored = c.join(broadcast(q), Seq("sig"))
       .select(col("qid"), col("id"),
@@ -266,6 +263,18 @@ object Ann {
           .as("cos"))
     graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
       ascending = false)
+  }
+
+  /** LSH-bucketed ANN: candidates share the full signature bucket; each
+    * query returns its exact top-k within the bucket (a recall-bounded
+    * approximation of cosineTopK — the deterministic contract is
+    * "top-k among same-signature corpus vectors"). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
+              k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+    val q = queries
+      .withColumn("sig", lshSignature(col("qv"), dim, numPlanes))
+      .withColumn("qn2", dotQ(col("qv"), col("qv")))
+    lshScoredTopK(q, corpus, dim, numPlanes, k)
   }
 
   /** Multi-probe LSH ANN (the standard recall lever for hyperplane
@@ -298,13 +307,6 @@ object Ann {
       .withColumn("probe", explode(array(col("sig0"),
         col("sig0").bitwiseXOR(flipMask))))
       .select(col("qid"), col("qv"), col("qn2"), col("probe").as("sig"))
-    val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
-      .withColumn("n2", dotQ(col("v"), col("v")))
-    val scored = c.join(broadcast(q), Seq("sig"))
-      .select(col("qid"), col("id"),
-        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
-          .as("cos"))
-    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
-      ascending = false)
+    lshScoredTopK(q, corpus, dim, numPlanes, k)
   }
 }

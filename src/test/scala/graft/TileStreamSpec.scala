@@ -154,7 +154,8 @@ class TileStreamSpec extends AnyFunSuite {
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
     val q = graft.streaming.NearDupStream
-      .nearDupPairs(pages, "doc_id", "text", "warc_ts", watermark = "10 minutes")
+      .nearDupPairs(pages, "doc_id", "text", "warc_ts",
+        horizon = java.time.Duration.ofMinutes(10))
       .writeStream.format("memory").queryName("neardup_evict")
       .outputMode("append").start()
     val text = "alpha beta gamma delta epsilon zeta eta theta"
