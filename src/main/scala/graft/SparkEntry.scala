@@ -606,6 +606,20 @@ object SparkEntry {
         maxDf = Some(graft.text.Dedup.NgramMaxDf))
       .orderBy("id_a", "id_b")
 
+  /** MinHash band-bucket cap for the capped-gate configuration —
+    * deliberately TIGHT (2) so the drop engages on the test corpus and
+    * the cap-aware oracle verifies exactly which candidates survive
+    * (mirror of q_simhash_capped's design). */
+  val MinhashMaxBucket = 2
+
+  /** MinHash LSH through the CAPPED band-bucket path, cap-aware
+    * oracle. */
+  def qMinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashLsh(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.4,
+        maxBucket = Some(MinhashMaxBucket))
+      .orderBy("id_a", "id_b")
+
   /** Scale-tier MinHash configuration (128 hashes, 16 bands of 8 — the
     * recall/precision point real CC-scale dedup runs at) verified
     * through the oracle on a corpus subset. */
@@ -799,6 +813,7 @@ object SparkEntry {
     "q_clean_corpus" -> (qCleanCorpus _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramCapped _),
+    "q_minhash_capped" -> (qMinhashCapped _),
     "q_minhash_wide" -> (qMinhashWide _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

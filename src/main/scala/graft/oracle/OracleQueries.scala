@@ -541,7 +541,8 @@ object OracleQueries {
     * cost). */
   private def minhashLshSql(numHashes: Int, rowsPerBand: Int,
                             threshold: Double,
-                            corpusFilter: Option[String]): String = {
+                            corpusFilter: Option[String],
+                            maxBucket: Option[Int] = None): String = {
     val nSalts = numHashes / 4
     val nBands = numHashes / rowsPerBand
     val src = corpusFilter.map(_ => "corpusf").getOrElse("corpus")
@@ -558,13 +559,25 @@ object OracleQueries {
       s"SELECT id, $b AS band, $ks FROM minh"
     }.mkString("\n  UNION ALL ")
     val keyEq = (0 until rowsPerBand).map(r => s"a.k$r = b.k$r").mkString(" AND ")
+    // cap-aware: replay capBuckets (count ids per band bucket, drop
+    // whole buckets above the cap) before candidate generation
+    val keyCols = "band" +: (0 until rowsPerBand).map(r => s"k$r")
+    val capCtes = maxBucket.map { cap =>
+      s"""bandsz AS (SELECT ${keyCols.mkString(", ")}, count(*) AS n
+         |  FROM bands GROUP BY ALL),
+         |bandsk AS (SELECT bands.* FROM bands JOIN bandsz
+         |  ON ${keyCols.map(c => s"bands.$c = bandsz.$c").mkString(" AND ")}
+         |  WHERE bandsz.n <= $cap),
+         |""".stripMargin
+    }.getOrElse("")
+    val candSrc = if (maxBucket.isEmpty) "bands" else "bandsk"
     s"""WITH $corpusCte,
        |$filterCte${shChainFrom(src)},
        |mh AS (SELECT id, shingle, $mds FROM sh),
        |minh AS (SELECT id, $mins FROM mh GROUP BY id),
        |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-       |  JOIN bands b ON a.band = b.band AND $keyEq
+       |${capCtes}cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM $candSrc a
+       |  JOIN $candSrc b ON a.band = b.band AND $keyEq
        |  AND a.id < b.id),
        |${jaccardTail(threshold)}""".stripMargin
   }
@@ -691,6 +704,12 @@ object OracleQueries {
          |FROM corpus GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_minhash_lsh" -> minhashLshSql(8, 2, 0.4, None),
+
+    // cap-aware capped config (mirror of q_simhash_capped): the oracle
+    // replays the bucket drop, so the gate verifies which candidates
+    // survive wherever the cap engages
+    "q_minhash_capped" -> minhashLshSql(8, 2, 0.4, None,
+      maxBucket = Some(graft.SparkEntry.MinhashMaxBucket)),
 
     "q_minhash_wide" -> minhashLshSql(128, 8, 0.4, Some("doc_id % 3 = 0")),
 
