@@ -287,6 +287,21 @@ object SparkEntry {
       .select("source", "lang").orderBy("source", "lang")
   }
 
+  /** J5 again through the cell-cover equi-join fallback (the
+    * huge-cardinality path: no BroadcastNestedLoop anywhere) —
+    * result-identical to qSemiPoints, verified against the same
+    * oracle (the qOverlaps/qOverlapsCells pattern). */
+  def qSemiPointsCells(spark: SparkSession, dir: String): DataFrame = {
+    val ext = Pages.geoPages(spark, dir, Res)
+      .groupBy(col("source"), col("lang"))
+      .agg(min("lon").as("lon_min"), min("lat").as("lat_min"),
+        max("lon").as("lon_max"), max("lat").as("lat_max"))
+    val jpPts = Points.fromTable(spark, dir, "customer", "c_custkey",
+      Nil, "c").filter(col("tld") === "jp").select("lon", "lat")
+    Overlaps.overlapsAnyPointByCells(ext, jpPts, TileRes)
+      .select("source", "lang").orderBy("source", "lang")
+  }
+
   // ---- resample / pyramid / vectorize (R1, R3, A12) -----------------------
 
   private def cellCounts(spark: SparkSession, dir: String, res: Int): DataFrame =
@@ -323,19 +338,22 @@ object SparkEntry {
 
   // ---- stack + spectral indexes (U1, F1-F5) -------------------------------
 
-  /** U1 + F1-F4: per-cell band stack (ordered multi-way cell join) and
-    * the four normalized-difference indexes with exact numpy float32 +
-    * truncation semantics. */
+  /** U1 + F1-F4: per-cell band stack and the four normalized-difference
+    * indexes with exact numpy float32 + truncation semantics. All five
+    * bands derive from ONE relation, so the stack is the fused
+    * single-pass multi-aggregate (Stack.fromAggregates — one scan + one
+    * shuffle; the round-3 Stack.stack formulation scanned the geo
+    * relation five times and full-outer-joined, VERDICT r3 minor #4).
+    * Multi-relation stacks still go through Stack.stack (FixtureGridSpec
+    * covers the join semantics). */
   def qStackIndexes(spark: SparkSession, dir: String): DataFrame = {
     val geo = Pages.geoCells(spark, dir, 10)
-    def band(name: String, agg: org.apache.spark.sql.Column): DataFrame =
-      geo.groupBy("cell").agg(agg.as(name))
-    val stacked = Stack.stack(Seq(
-      "red" -> band("red", sum("n_chars")),
-      "nir" -> band("nir", count(lit(1)) * 500),
-      "green" -> band("green", sum(col("doc_id") % 100)),
-      "swir" -> band("swir", max("n_chars")),
-      "blue" -> band("blue", min("n_chars"))))
+    val stacked = Stack.fromAggregates(geo, Seq(
+      "red" -> sum("n_chars"),
+      "nir" -> (count(lit(1)) * 500),
+      "green" -> sum(col("doc_id") % 100),
+      "swir" -> max("n_chars"),
+      "blue" -> min("n_chars")))
     stacked.select(col("cell"),
         Indexes.ndvi(col("nir"), col("red")).as("ndvi"),
         Indexes.nbr(col("nir"), col("swir")).as("nbr"),
@@ -785,6 +803,7 @@ object SparkEntry {
     "q_overlap_pairing" -> (qOverlapPairing _),
     "q_one_vs_all" -> (qOneVsAll _),
     "q_semi_points" -> (qSemiPoints _),
+    "q_semi_points_cells" -> (qSemiPointsCells _),
     "q_resample" -> (qResample _),
     "q_upsample" -> (qUpsample _),
     "q_pyramid" -> (qPyramid _),

@@ -90,20 +90,38 @@ object Extract {
     * (label_id, bands) for a deterministic file; the 100-TB path stays
     * [[saveXy]] (parquet). */
   def saveXyJson(xy: DataFrame, bands: Seq[String], path: String): Unit = {
+    // Python json.dumps parity is TYPE-gated, matching NumpyEncoder
+    // (utils.py:9-20): np.integer -> int (renders "1"), np.floating ->
+    // float (renders "1.0" even when integral). So each band renders by
+    // its SOURCE column type, not its value (ADVICE r3 #4 — the prior
+    // value-gated rendering printed float 1.0 as "1", breaking parity
+    // for float bands). Float parity caveat: Java's shortest-round-trip
+    // Double.toString matches Python repr in the plain-decimal range
+    // (1e-3 <= |x| < 1e7); exponent-form values differ in spelling
+    // ("1.0E10" vs "1e+10") while remaining exact on re-read.
+    val fieldType = xy.schema.fields.map(f => f.name -> f.dataType).toMap
+    val integral = bands.map { b =>
+      fieldType(b) match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+    }
     val rows = xy
       .select((bands.map(b => col(b).cast("double")) :+
         col("label_id").cast("long") :+ col("classname")): _*)
       .orderBy((col("label_id").cast("long") +: bands.map(col)): _*)
       .collect()
-    // Python json.dumps parity: integral doubles print without the
-    // fraction, non-finite values print BARE (NaN / Infinity —
-    // allow_nan is True in the reference's encoder); loadXyJson reads
-    // them back via Jackson's non-numeric-numbers feature
-    def num(d: Double): String =
+    // non-finite values print BARE (NaN / Infinity — allow_nan is True
+    // in the reference's encoder); loadXyJson reads them back via
+    // Jackson's non-numeric-numbers feature
+    def num(d: Double, asInt: Boolean): String =
       if (d.isNaN) "NaN"
       else if (d.isPosInfinity) "Infinity"
       else if (d.isNegInfinity) "-Infinity"
-      else if (d == math.rint(d)) d.toLong.toString
+      else if (asInt && d == math.rint(d)) d.toLong.toString
       else d.toString
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -111,7 +129,8 @@ object Extract {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val xStr = rows.map(r => bands.indices.map(i => num(r.getDouble(i)))
+    val xStr = rows.map(r => bands.indices
+      .map(i => num(r.getDouble(i), integral(i)))
       .mkString("[", ", ", "]")).mkString("[", ", ", "]")
     val yStr = rows.map(_.getLong(bands.length)).mkString("[", ", ", "]")
     val labels = rows.map(r => (r.getString(bands.length + 1),

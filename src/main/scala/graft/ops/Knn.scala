@@ -37,11 +37,21 @@ object Knn {
     * driver-collected IN-lists to semi/anti joins. */
   val MaxDriverQids = 10000
 
+  /** Probe-amplification cap (VERDICT r3 minor #3): a round explodes
+    * |pending| x (2r+1)^2 probe rows — at maxRadius 16 that is 1,089
+    * cells per unfinished query, which only pays off while many queries
+    * are pending. When the next round's probe volume would exceed this,
+    * the loop stops and the (by then small or sparse-region) residue
+    * goes straight to the brute-force pass — still exact, strictly
+    * fewer probe rows. */
+  val MaxProbeRows = 64_000_000L
+
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
     * Returns (qid, rank, id, dist2) with rank 1..k. */
   def knnJoin(points: DataFrame, pages: DataFrame, res: Int, k: Int,
               initRadius: Int = 4, maxRadius: Int = 16,
-              maxDriverQids: Int = MaxDriverQids): DataFrame = {
+              maxDriverQids: Int = MaxDriverQids,
+              maxProbeRows: Long = MaxProbeRows): DataFrame = {
     val cellH = 180.0 / (1L << res).toDouble
     val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
       (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
@@ -57,7 +67,8 @@ object Knn {
     val relational = nPending > maxDriverQids
     var results: DataFrame = null
     var r = initRadius
-    while (r <= maxRadius && nPending > 0) {
+    while (r <= maxRadius && nPending > 0 &&
+           nPending * (2L * r + 1) * (2L * r + 1) <= maxProbeRows) {
       val probe = pending
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
       // small query sets broadcast into the probe; at large counts let

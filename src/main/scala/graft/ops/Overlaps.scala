@@ -42,6 +42,29 @@ object Overlaps {
         least(col("a.lat_max"), col("b.lat_max")).as("ilat_max"))
   }
 
+  /** Cover cells of a bbox relation at `res`: one row per (bbox row,
+    * covering cell), cell ids from the SAME lon/lat -> index mapping as
+    * graft.functions.cell_of — a point inside the bbox always lands
+    * (via cell_of) in one of these cells, which is what makes the
+    * cell-join fallbacks exact. Shared by allPairsByCells and
+    * overlapsAnyPointByCells. */
+  private def coverCells(ext: DataFrame, res: Int): DataFrame = {
+    import graft.functions.cell_of
+    val n = (1L << res).toDouble
+    val hi = lit((1L << res) - 1L)
+    def xi(c: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(hi, floor((c + 180.0) / 360.0 * n).cast("long")))
+    def yi(c: org.apache.spark.sql.Column) =
+      greatest(lit(0L), least(hi, floor((c + 90.0) / 180.0 * n).cast("long")))
+    ext
+      .withColumn("xi", explode(sequence(xi(col("lon_min")), xi(col("lon_max")))))
+      .withColumn("yi", explode(sequence(yi(col("lat_min")), yi(col("lat_max")))))
+      .withColumn("cell", cell_of(
+        (col("xi").cast("double") + 0.5) / n * 360.0 - 180.0,
+        (col("yi").cast("double") + 0.5) / n * 180.0 - 90.0, res))
+      .drop("xi", "yi")
+  }
+
   /** J2 at huge source counts (SURVEY §2.3 fallback): when the extent
     * table itself is too big to broadcast, candidates come from a cell
     * equi-join — each bbox explodes into its covering cells at `res`,
@@ -51,20 +74,7 @@ object Overlaps {
     * missed; distinct collapses multi-cell duplicates. Pick `res` so a
     * typical extent covers a handful of cells. */
   def allPairsByCells(ext: DataFrame, res: Int): DataFrame = {
-    import graft.functions.cell_of
-    val n = (1L << res).toDouble
-    val hi = lit((1L << res) - 1L)
-    def xi(c: org.apache.spark.sql.Column) =
-      greatest(lit(0L), least(hi, floor((c + 180.0) / 360.0 * n).cast("long")))
-    def yi(c: org.apache.spark.sql.Column) =
-      greatest(lit(0L), least(hi, floor((c + 90.0) / 180.0 * n).cast("long")))
-    val cells = ext
-      .withColumn("xi", explode(sequence(xi(col("lon_min")), xi(col("lon_max")))))
-      .withColumn("yi", explode(sequence(yi(col("lat_min")), yi(col("lat_max")))))
-      .withColumn("cell", cell_of(
-        (col("xi").cast("double") + 0.5) / n * 360.0 - 180.0,
-        (col("yi").cast("double") + 0.5) / n * 180.0 - 90.0, res))
-      .drop("xi", "yi")
+    val cells = coverCells(ext, res)
     val a = cells.alias("a"); val b = cells.alias("b")
     a.join(b, col("a.cell") === col("b.cell") &&
         col("a.src") < col("b.src") && bboxIntersects("a", "b"))
@@ -104,10 +114,36 @@ object Overlaps {
 
   /** J5 raster-overlaps-any-point semi-join (filter_imgs.py:111-127):
     * keep sources whose extent contains >= 1 point — LEFT SEMI, the
-    * planner's early-out replaces the reference's `break`. */
+    * planner's early-out replaces the reference's `break`. Theta range
+    * join (BroadcastNestedLoop) — right while one side is small (the
+    * reference's extents are per-file, tiny); the huge-cardinality
+    * scale path is [[overlapsAnyPointByCells]]. */
   def overlapsAnyPoint(ext: DataFrame, points: DataFrame): DataFrame =
     ext.join(points,
       col("lon") >= col("lon_min") && col("lon") <= col("lon_max") &&
         col("lat") >= col("lat_min") && col("lat") <= col("lat_max"),
       "left_semi")
+
+  /** J5 at huge cardinality (VERDICT r3 missing #1 — the million-extent
+    * x million-point workload the theta join can't touch): extents
+    * explode to cover cells at `res`, points key by cell_of, candidates
+    * come from the cell EQUI-join, the exact containment predicate
+    * verifies, and a final left-semi on all extent columns restores the
+    * one-row-per-extent contract (a candidate side with multi-cell
+    * duplicates is fine on the right of a semi-join). Result-identical
+    * to overlapsAnyPoint: a contained point's cell_of cell is always
+    * among its extent's cover cells (same index mapping, clamped the
+    * same way). `points` must carry (lon, lat) only — project first. */
+  def overlapsAnyPointByCells(ext: DataFrame, points: DataFrame,
+                              res: Int): DataFrame = {
+    import graft.functions.cell_of
+    val pts = points.select(col("lon").as("p_lon"), col("lat").as("p_lat"))
+      .withColumn("cell", cell_of(col("p_lon"), col("p_lat"), res))
+    val hit = coverCells(ext, res)
+      .join(pts, Seq("cell"))
+      .filter(col("p_lon") >= col("lon_min") && col("p_lon") <= col("lon_max") &&
+        col("p_lat") >= col("lat_min") && col("p_lat") <= col("lat_max"))
+      .drop("cell", "p_lon", "p_lat")
+    ext.join(hit, ext.columns.toSeq, "left_semi")
+  }
 }

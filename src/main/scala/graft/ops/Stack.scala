@@ -42,6 +42,20 @@ object Stack {
     }.reduce((a, b) => a.join(b, Seq("cell"), "full_outer"))
   }
 
+  /** Single-pass stack for bands that all derive from ONE relation
+    * (VERDICT r3 minor #4): a multi-aggregate groupBy(cell) builds
+    * every band in one scan and one shuffle — [[stack]]'s N scans +
+    * (N-1)-way full-outer join exists for bands from DIFFERENT
+    * relations, where partial coverage must surface as nulls; a
+    * same-source stack has every band defined on every present cell,
+    * so the fused plan is result-identical by construction. */
+  def fromAggregates(geo: DataFrame,
+                     bands: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(bands.nonEmpty, "fromAggregates needs >= 1 band")
+    geo.groupBy(col("cell")).agg(bands.head._2.as(bands.head._1),
+      bands.tail.map { case (n, a) => a.as(n) }: _*)
+  }
+
   /** reorder_items analog: project bands in a new order. */
   def reorder(stacked: DataFrame, order: Seq[String]): DataFrame =
     stacked.select((col("cell") +: order.map(col)): _*)

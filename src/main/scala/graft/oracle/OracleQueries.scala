@@ -948,5 +948,11 @@ object OracleQueries {
          |ORDER BY cell""".stripMargin
   )
 
-  val all: Map[String, String] = core ++ classification ++ textVec
+  val all: Map[String, String] = {
+    val m = core ++ classification ++ textVec
+    // the cell-cover fallback gates are result-identical to their theta
+    // formulations BY CONSTRUCTION (a contained point's cell is always
+    // among its extent's cover cells) — verified against the same oracle
+    m + ("q_semi_points_cells" -> m("q_semi_points"))
+  }
 }

@@ -196,21 +196,41 @@ object Dedup {
   /** The (band, k0) struct array of a 60-bit signature column — the
     * SINGLE source of the band layout, shared by the batch pair join
     * and the streaming state keying (NearDupStream) so the two paths
-    * cannot drift. */
-  def simhashBandStructs(sig: Column): Column = {
-    import graft.text.SimHash.{BandBits, NumBands}
-    val mask = (1L << BandBits) - 1L
-    array((0 until NumBands).map(n => struct(lit(n).as("band"),
-      shiftright(sig, n * BandBits).bitwiseAND(mask).as("k0"))): _*)
+    * cannot drift. `numBands` must divide 60; the pigeonhole guarantee
+    * covers Hamming <= numBands - 1. */
+  def simhashBandStructs(sig: Column,
+                         numBands: Int = graft.text.SimHash.NumBands): Column = {
+    require(graft.text.SimHash.Bits % numBands == 0,
+      s"numBands=$numBands must divide ${graft.text.SimHash.Bits}")
+    val bandBits = graft.text.SimHash.Bits / numBands
+    val mask = (1L << bandBits) - 1L
+    array((0 until numBands).map(n => struct(lit(n).as("band"),
+      shiftright(sig, n * bandBits).bitwiseAND(mask).as("k0"))): _*)
+  }
+
+  /** Band count whose pigeonhole guarantee covers `maxHamming` bit
+    * flips: maxHamming + 1 bands (at most maxHamming of them can
+    * differ, so >= 1 is identical). Must divide the 60-bit signature —
+    * maxHamming in {0..5, 9, 11, 14, 19, 29, 59}; the ADVICE r3 bug
+    * class (fixed 4 bands silently under-recalling at maxHamming >= 4)
+    * fails fast here instead. */
+  def simhashNumBands(maxHamming: Int): Int = {
+    require(maxHamming >= 0 &&
+      graft.text.SimHash.Bits % (maxHamming + 1) == 0,
+      s"maxHamming=$maxHamming unsupported: need (maxHamming+1) | " +
+        s"${graft.text.SimHash.Bits} so the band blocking stays " +
+        "complete (pigeonhole)")
+    maxHamming + 1
   }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucket: Option[Int] = None): DataFrame = {
     import graft.functions.simhash60
+    val numBands = simhashNumBands(maxHamming)
     val sig = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
     val nib0 = sig.select(col("id"), col("sig"),
-        explode(simhashBandStructs(col("sig"))).as("bk"))
+        explode(simhashBandStructs(col("sig"), numBands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.k0").as("k0"))
     val nib = maxBucket.map(capBuckets(nib0, _)).getOrElse(nib0)
     val a = nib.alias("a"); val b = nib.alias("b")
@@ -304,61 +324,78 @@ object Dedup {
     * Beyond-reference operator (builder mandate): the reference emits
     * pair lists only. Caches each round's label relation; caller owns
     * the lifetime of the returned (final) relation. */
-  def clusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def clusters(pairs: DataFrame, maxRounds: Int = 50,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // DURABLE mode (checkpointDir set): per-round truncation goes
+    // through reliable checkpoint() files, so a 100-TB CC run survives
+    // executor loss mid-loop (localCheckpoint blocks die with their
+    // executor and fail the job). The caller owns the directory's
+    // lifetime — superseded rounds' files are bookkeeping-scale (one
+    // row per distinct doc id in the pair set) and are reclaimed with
+    // the directory (or by spark.cleaner.referenceTracking
+    // .cleanCheckpoints on a long-lived session).
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // cache the edge relation: every propagation round joins against it,
     // and the upstream pair pipeline (band joins, verifies) must not
     // re-execute per round
     val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    // localCheckpoint (eager), NOT cache: each round's relation is
+    // checkpoint (eager), NOT cache: each round's relation is
     // defined in terms of the previous one (twice, via the hop
     // self-join), so an un-truncated lineage grows ~3x PER ROUND and
     // Catalyst analysis time explodes exponentially even though
     // execution is cheap — the classic iterative-algorithm pitfall.
     // Checkpointing pins the materialized rows and resets the plan to a
-    // leaf. (On a cluster, swap for checkpoint() if executor loss
-    // during the loop must be survivable; the relation is one row per
-    // distinct doc id in the pair set.)
+    // leaf.
     // seed labels with min(self, direct neighbors) — one aggregation
     // that is exactly the loop's neighbor step, so star-shaped
     // duplicate clusters (the common case) start already-converged and
     // pay only the confirming round
-    var lab = e.groupBy(col("src"))
+    var lab = pin(e.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"),
-        least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint(true)
-    var round = 0
+        least(col("src"), col("nmin")).as("label")))
     var converged = false
-    while (!converged && round < maxRounds) {
-      // neighbor labels, then one pointer-doubling hop: label-of-label
-      val viaNeighbor = e.alias("e")
-        .join(lab.alias("nl"), col("e.dst") === col("nl.id"))
-        .select(col("e.src").as("id"), col("nl.label").as("label"))
-      val hop = lab.alias("l1")
-        .join(lab.alias("l2"), col("l1.label") === col("l2.id"))
-        .select(col("l1.id").as("id"), col("l2.label").as("label"))
-      val next = lab.select("id", "label")
-        .union(viaNeighbor).union(hop)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val changed = next
-        .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
-        .filter(col("label") =!= col("old_label")).count()
-      // the superseded round's checkpoint blocks are dead the moment
-      // `changed` has been counted — release them explicitly
-      // (Dataset.unpersist is a no-op for checkpoints, and waiting for
-      // the ContextCleaner leaks O(rounds x ids) storage to a
-      // long-lived caller)
-      graft.util.Checkpoints.release(lab)
-      lab = next
-      converged = changed == 0
-      round += 1
+    // try/finally: a failed round (or the convergence require) must
+    // still release the cached edge relation and the last round's
+    // checkpoint blocks — without it a long-lived session leaks both
+    try {
+      var round = 0
+      while (!converged && round < maxRounds) {
+        // neighbor labels, then one pointer-doubling hop: label-of-label
+        val viaNeighbor = e.alias("e")
+          .join(lab.alias("nl"), col("e.dst") === col("nl.id"))
+          .select(col("e.src").as("id"), col("nl.label").as("label"))
+        val hop = lab.alias("l1")
+          .join(lab.alias("l2"), col("l1.label") === col("l2.id"))
+          .select(col("l1.id").as("id"), col("l2.label").as("label"))
+        val next = pin(lab.select("id", "label")
+          .union(viaNeighbor).union(hop)
+          .groupBy("id").agg(min("label").as("label")))
+        val changed = next
+          .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
+          .filter(col("label") =!= col("old_label")).count()
+        // the superseded round's checkpoint blocks are dead the moment
+        // `changed` has been counted — release them explicitly
+        // (Dataset.unpersist is a no-op for checkpoints, and waiting for
+        // the ContextCleaner leaks O(rounds x ids) storage to a
+        // long-lived caller)
+        graft.util.Checkpoints.release(lab)
+        lab = next
+        converged = changed == 0
+        round += 1
+      }
+      require(converged, s"clusters() did not converge in $maxRounds rounds")
+      lab.select(col("id"), col("label").as("keeper"))
+    } finally {
+      e.unpersist()
+      if (!converged) graft.util.Checkpoints.release(lab)
     }
-    require(converged, s"clusters() did not converge in $maxRounds rounds")
-    e.unpersist()
-    lab.select(col("id"), col("label").as("keeper"))
   }
 
   /** End-to-end near-dup REMOVAL (the composed operator a training-data

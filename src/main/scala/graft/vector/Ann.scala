@@ -45,21 +45,49 @@ object Ann {
     try_divide(dot.cast("double"),
       sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
 
+  /** Query-row count above which the top-k entry points stop forcing a
+    * broadcast of the query relation (the driver-OOM guard — the same
+    * count-gated pattern as text.Dedup.BroadcastCandLimit: a batch
+    * re-ranking job with 10^7 queries must not collect them all to the
+    * driver). The count runs over the CACHED query relation, so the one
+    * traversal it costs is reused by the join. Fallbacks: the bucketed
+    * paths (lsh/ivf) drop the hint and shuffle on the bucket equi-key;
+    * brute-force cosineTopK loops over query CHUNKS of at most the
+    * limit (each chunk still broadcasts — a shuffled cross join would
+    * replicate the corpus per shuffle partition instead). */
+  val BroadcastQueryLimit = 2_000_000L
+
   /** Brute-force cosine top-k: queries (qid, qv) x corpus (id, v).
     * Returns (qid, rank, id, cos) with rank 1..k; ties -> lower id.
     * Two-phase: the heap aggregate reduces each corpus partition to k
     * candidates per query before any shuffle (the prior global
     * Window.partitionBy(qid) funneled the whole scored corpus of a
-    * query into one reducer — a 100x scale-killer). */
-  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.withColumn("qn2", dotQ(col("qv"), col("qv")))
+    * query into one reducer — a 100x scale-killer). Above
+    * `broadcastLimit` queries, runs as a deterministic chunked loop
+    * (each qid lands in exactly one xxhash64-modulo chunk, so the
+    * union is a disjoint partition of the same exact result). Cache
+    * lifetime of the query relation is the CALLER's session (Verify/
+    * Bench clearCache between queries). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                 broadcastLimit: Long = BroadcastQueryLimit): DataFrame = {
+    val q = queries.withColumn("qn2", dotQ(col("qv"), col("qv"))).cache()
     val c = corpus.withColumn("n2", dotQ(col("v"), col("v")))
-    val scored = c.crossJoin(broadcast(q))
-      .select(col("qid"), col("id"),
-        cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
-          .as("cos"))
-    graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
-      ascending = false)
+    def chunkTopK(qs: DataFrame): DataFrame = {
+      val scored = c.crossJoin(broadcast(qs))
+        .select(col("qid"), col("id"),
+          cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
+            .as("cos"))
+      graft.ops.TopK.perGroup(scored, Seq("qid"), "cos", "id", k,
+        ascending = false)
+    }
+    val nq = q.count()
+    if (nq <= broadcastLimit) chunkTopK(q)
+    else {
+      val nChunks = ((nq + broadcastLimit - 1) / broadcastLimit).toInt
+      (0 until nChunks).map { i =>
+        chunkTopK(q.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i))
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Integer hyperplane weights: LCG of (plane, dim) — single source of
@@ -230,7 +258,8 @@ object Ann {
     * the probed cells through the two-phase top-k. Deterministic
     * contract: exact top-k among vectors in the probed cells. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-              k: Int, codebook: Option[Seq[Seq[Long]]] = None): DataFrame = {
+              k: Int, codebook: Option[Seq[Seq[Long]]] = None,
+              broadcastLimit: Long = BroadcastQueryLimit): DataFrame = {
     def packed(v: Column): Column = codebook
       .map(b => graft.functions.ivf_cells_of(v, b))
       .getOrElse(ivfCells(v, dim))
@@ -242,7 +271,11 @@ object Ann {
         shiftright(col("packed"), 8),
         col("packed").bitwiseAND(lit(255)))))
       .drop("packed")
-    val scored = c.join(broadcast(q), Seq("cid"))
+      .cache()
+    // count-gated hint (see BroadcastQueryLimit): an over-limit query
+    // relation shuffles on the cell equi-key instead of OOMing the driver
+    val qh = if (q.count() <= broadcastLimit) broadcast(q) else q
+    val scored = c.join(qh, Seq("cid"))
       .select(col("qid"), col("id"),
         cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
           .as("cos"))
@@ -253,11 +286,16 @@ object Ann {
   /** Shared LSH scoring tail: probe relation q(qid, qv, qn2, sig)
     * equi-joined to the signed corpus, exact cosine, two-phase top-k.
     * Single source of truth for lshTopK and lshTopKMultiProbe. */
-  private def lshScoredTopK(q: DataFrame, corpus: DataFrame, dim: Int,
-                            numPlanes: Int, k: Int): DataFrame = {
+  private def lshScoredTopK(q0: DataFrame, corpus: DataFrame, dim: Int,
+                            numPlanes: Int, k: Int,
+                            broadcastLimit: Long): DataFrame = {
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
       .withColumn("n2", dotQ(col("v"), col("v")))
-    val scored = c.join(broadcast(q), Seq("sig"))
+    // count-gated hint (see BroadcastQueryLimit): an over-limit probe
+    // relation shuffles on the signature equi-key
+    val q = q0.cache()
+    val qh = if (q.count() <= broadcastLimit) broadcast(q) else q
+    val scored = c.join(qh, Seq("sig"))
       .select(col("qid"), col("id"),
         cosineFromParts(dotQ(col("qv"), col("v")), col("qn2"), col("n2"))
           .as("cos"))
@@ -270,11 +308,12 @@ object Ann {
     * approximation of cosineTopK — the deterministic contract is
     * "top-k among same-signature corpus vectors"). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
-              k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+              k: Int, numPlanes: Int = NumPlanes,
+              broadcastLimit: Long = BroadcastQueryLimit): DataFrame = {
     val q = queries
       .withColumn("sig", lshSignature(col("qv"), dim, numPlanes))
       .withColumn("qn2", dotQ(col("qv"), col("qv")))
-    lshScoredTopK(q, corpus, dim, numPlanes, k)
+    lshScoredTopK(q, corpus, dim, numPlanes, k, broadcastLimit)
   }
 
   /** Multi-probe LSH ANN (the standard recall lever for hyperplane
@@ -287,7 +326,8 @@ object Ann {
     * explodes to 2 rows. Deterministic contract: exact top-k among
     * corpus vectors in either probed bucket. */
   def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, dim: Int,
-                        k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+                        k: Int, numPlanes: Int = NumPlanes,
+                        broadcastLimit: Long = BroadcastQueryLimit): DataFrame = {
     val withDots = queries
       .withColumn("qn2", dotQ(col("qv"), col("qv")))
       .select(col("*") +: (0 until numPlanes).map { p =>
@@ -307,6 +347,6 @@ object Ann {
       .withColumn("probe", explode(array(col("sig0"),
         col("sig0").bitwiseXOR(flipMask))))
       .select(col("qid"), col("qv"), col("qn2"), col("probe").as("sig"))
-    lshScoredTopK(q, corpus, dim, numPlanes, k)
+    lshScoredTopK(q, corpus, dim, numPlanes, k, broadcastLimit)
   }
 }

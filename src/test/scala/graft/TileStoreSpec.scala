@@ -147,6 +147,20 @@ class TileStoreSpec extends AnyFunSuite {
     assert(rows == Set((3.0, 10.0, 67L), (1.0, 20.0, 67L), (5.0, 30.0, 70L)))
   }
 
+  test("saveXyJson: float bands render as Python floats, int bands as ints") {
+    // ADVICE r3 #4: NumpyEncoder maps np.floating -> float, and Python
+    // json.dumps renders float 1.0 as "1.0" — so integer rendering is
+    // gated on the band's SOURCE type, not on the value being integral
+    val dir = tmpDir("ts-xyjson-f")
+    new java.io.File(dir).mkdirs()
+    val path = s"$dir/xy.json"
+    val xy = Seq((1.0, 10L, "CARS", 67L), (2.5, 20L, "CARS", 67L))
+      .toDF("fb", "b2", "classname", "label_id")
+    graft.ops.Extract.saveXyJson(xy, Seq("fb", "b2"), path)
+    val json = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(json.startsWith("""{"X": [[1.0, 10], [2.5, 20]]"""), json)
+  }
+
   test("distinctBoxes: identical intersection boxes collapse to first pair") {
     val pairs = Seq(
       ("a", "b", 0.0, 0.0, 1.0, 1.0),

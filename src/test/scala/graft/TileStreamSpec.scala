@@ -173,6 +173,60 @@ class TileStreamSpec extends AnyFunSuite {
     assert(!got.contains((1L, 2L)), s"stale pair emitted: $got")
   }
 
+  test("streaming minhash candidates == batch LSH candidates within horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near 1
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "ab cd")) // too short for a 3-shingle: no signature
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .minhashCandidates(pages, "doc_id", "text", "warc_ts")
+      .writeStream.format("memory").queryName("mh_cand_stream")
+      .outputMode("append").start()
+    // two batches: candidates must surface across batch boundaries too
+    mem.addData((1L, docs(0)._2, t(0)), (4L, docs(3)._2, t(1)),
+      (5L, docs(4)._2, t(1)))
+    q.processAllAvailable()
+    mem.addData((2L, docs(1)._2, t(2)), (3L, docs(2)._2, t(3)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mh_cand_stream")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin on the same rows: the candidate relation of minhashLsh
+    val want = graft.text.Dedup.candidates(graft.text.Dedup.bands(
+        graft.text.Dedup.minhash(graft.text.Dedup.docShinglesAll(
+          docs.toDF("doc_id", "text"), "doc_id", "text"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("streaming bucket cap: overflow drops are counted, not silent") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val acc = spark.sparkContext.longAccumulator("neardup_overflow_drops")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .nearDupPairs(pages, "doc_id", "text", "warc_ts",
+        maxBucket = 1, overflowDrops = Some(acc))
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").start()
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    // three identical docs into buckets capped at 1: every arrival past
+    // the first drops the oldest entry, and the accumulator sees it
+    // (ADVICE r3 #3 — the streaming analog of batch bucketStats)
+    mem.addData((1L, text, t(0)), (2L, text, t(1)), (3L, text, t(2)))
+    q.processAllAvailable()
+    q.stop()
+    assert(acc.value > 0, "overflow drops not accounted")
+  }
+
   test("streaming tile density == batch tile density on the same rows") {
     val rows = (0 until 300).map { i =>
       val tld = Seq("de", "jp", "io")(i % 3)
