@@ -588,6 +588,27 @@ object SparkEntry {
         maxBucket = Some(SimhashMaxBucket))
       .orderBy("id_a", "id_b")
 
+  /** Salvage-tier configuration for the capped simhash gate: a TIGHT
+    * cap (2) so sub-bucket salvage genuinely engages on the test
+    * corpus, and factor 8 so buckets up to 16 salvage while bigger
+    * ones still drop — all three policy tiers (keep / salvage / drop)
+    * exercised and oracle-replayed. */
+  val SimhashSalvageCap = 2
+  val SimhashSalvageFactor = 8
+
+  /** SimHash pairs through the SALVAGE band-bucket policy (VERDICT r3
+    * stretch #9): hot buckets between cap and cap*factor split into
+    * md5-salted sub-buckets instead of dropping — strictly more
+    * surviving pairs than the drop policy at identical precision. The
+    * oracle replays the full three-tier policy including the
+    * sub-bucket hash. */
+  def qSimhashSalvaged(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.simhashPairs(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text",
+        maxBucket = Some(SimhashSalvageCap),
+        salvageFactor = Some(SimhashSalvageFactor))
+      .orderBy("id_a", "id_b")
+
   /** Cluster-keeper dedup output (connected components by min-label
     * propagation) over the simhash near-dup pairs: one (id, keeper) row
     * per duplicated doc — the contract a training-data pipeline
@@ -827,6 +848,7 @@ object SparkEntry {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash" -> (qSimhash _),
     "q_simhash_capped" -> (qSimhashCapped _),
+    "q_simhash_salvaged" -> (qSimhashSalvaged _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_e2e" -> (qDedupE2e _),
     "q_clean_corpus" -> (qCleanCorpus _),

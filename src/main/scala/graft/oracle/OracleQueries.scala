@@ -744,6 +744,43 @@ object OracleQueries {
          |ORDER BY 1, 2""".stripMargin
     },
 
+    // SALVAGE-AWARE oracle: replays the full three-tier bucket policy
+    // — small buckets keep (ksub 0), mid buckets split into ceil(n/cap)
+    // sub-buckets keyed by the id's first md5 word (h32FromMd parity
+    // with Spark's md5_words kernel), oversize buckets drop — then
+    // candidates join on (band, k0, ksub). Verifies the salvage
+    // semantics themselves, not just the surviving pair values
+    "q_simhash_salvaged" -> {
+      import graft.text.SimHash.{BandBits, NumBands}
+      val mask = (1L << BandBits) - 1L
+      val cap = graft.SparkEntry.SimhashSalvageCap
+      val factor = graft.SparkEntry.SimhashSalvageFactor
+      s"""WITH $corpusCte,
+         |c0 AS (SELECT doc_id AS id, text FROM corpus),
+         |${simhashChain("c0", "sig")},
+         |bnd AS (SELECT id, sig.sig AS sig, u.band,
+         |    (sig.sig >> (u.band * $BandBits)) & $mask AS k0
+         |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) u),
+         |sz AS (SELECT band, k0, count(*) AS n FROM bnd GROUP BY 1, 2),
+         |kp0 AS (SELECT bnd.*, sz.n, md5(CAST(bnd.id AS VARCHAR)) AS md
+         |  FROM bnd JOIN sz ON bnd.band = sz.band AND bnd.k0 = sz.k0
+         |  WHERE sz.n <= ${cap.toLong * factor}),
+         |kp AS (SELECT id, sig, band, k0,
+         |    CASE WHEN n <= $cap THEN 0
+         |      ELSE ${h32FromMd("md")} %
+         |        CAST(trunc((n + ${cap - 1}) / $cap) AS BIGINT)
+         |    END AS ksub
+         |  FROM kp0),
+         |prs0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM kp a JOIN kp b ON a.band = b.band AND a.k0 = b.k0
+         |    AND a.ksub = b.ksub AND a.id < b.id)
+         |SELECT id_a, id_b, sig_a, sig_b,
+         |  CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+         |FROM prs0 WHERE bit_count(xor(sig_a, sig_b)) <= 3
+         |ORDER BY 1, 2""".stripMargin
+    },
+
     // cluster keepers over the simhash pairs: the min-label closure
     // replayed as a recursive CTE (the walk enumerates every (id,
     // reachable-id) pair of a component; min = the keeper)

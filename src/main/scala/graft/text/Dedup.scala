@@ -98,6 +98,37 @@ object Dedup {
     bandDf.join(small, keyCols)
   }
 
+  /** SALVAGE policy for hot band buckets (the graded alternative to
+    * capBuckets' binary keep/drop): buckets <= `cap` pair fully
+    * (ksub = 0 — identical to the uncapped path); buckets between cap
+    * and cap * `salvageFactor` split into ceil(n/cap) md5-salted
+    * sub-buckets — the sub-bucket id becomes an extra join key, so
+    * pairing runs within sub-buckets only and per-bucket join work
+    * drops from n^2 to ~n*cap while every SAMPLED pair still goes
+    * through the exact verify, i.e. strictly more survivors than
+    * dropping, at identical precision; buckets beyond cap*salvageFactor
+    * still drop entirely (bucketStats keeps the accounting honest).
+    * The sub-bucket hash is the first md5 word of the id's decimal
+    * string (DuckDB-reproducible, h32FromMd parity) and depends only on
+    * (id, bucket size) — deterministic at any parallelism. */
+  def capBucketsSalvage(bandDf: DataFrame, cap: Int,
+                        salvageFactor: Int): DataFrame = {
+    require(cap >= 1 && salvageFactor >= 1)
+    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
+    val counts = bandDf.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= cap.toLong * salvageFactor)
+    val h32 = element_at(
+      graft.functions.md5_words(col("id").cast("string")), 1)
+    // ceil(n/cap) via truncating double division — DuckDB's int '/'
+    // is DOUBLE too, so CAST(... AS BIGINT) on both sides agrees
+    val nsub = ((col("bucket_n") + (cap - 1)) / cap).cast("long")
+    bandDf.join(counts, keyCols)
+      .withColumn("ksub", when(col("bucket_n") <= cap, lit(0L))
+        .otherwise(pmod(h32, nsub)))
+      .drop("bucket_n")
+  }
+
   /** Bucket-size distribution over a band relation — the "what would a
     * cap drop" report callers log before committing to a cap. */
   def bucketStats(bandDf: DataFrame, cap: Int): DataFrame = {
@@ -225,17 +256,25 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucket: Option[Int] = None): DataFrame = {
+                   maxBucket: Option[Int] = None,
+                   salvageFactor: Option[Int] = None): DataFrame = {
     import graft.functions.simhash60
     val numBands = simhashNumBands(maxHamming)
     val sig = df.select(col(idCol).as("id"), simhash60(col(textCol)).as("sig"))
     val nib0 = sig.select(col("id"), col("sig"),
         explode(simhashBandStructs(col("sig"), numBands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.k0").as("k0"))
-    val nib = maxBucket.map(capBuckets(nib0, _)).getOrElse(nib0)
+    val nib = (maxBucket, salvageFactor) match {
+      case (Some(cap), Some(f)) => capBucketsSalvage(nib0, cap, f)
+      case (Some(cap), None) => capBuckets(nib0, cap)
+      case (None, _) => nib0
+    }
+    // join keys are whatever the cap policy left: (band, k0) plus the
+    // salvage sub-bucket when present
+    val keyCols = nib.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
     val a = nib.alias("a"); val b = nib.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.k0") === col("b.k0") &&
-        col("a.id") < col("b.id"))
+    val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    a.join(b, keyEq && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

@@ -287,6 +287,32 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(stats.getAs[Long]("max_bucket") >= 2)
   }
 
+  test("bucket salvage recovers pairs the drop policy loses, exactly") {
+    // three identical docs: every shared band bucket has n = 3, so the
+    // drop policy at cap 2 loses ALL pairs; salvage splits the bucket
+    // into ceil(3/2) = 2 sub-buckets — pigeonhole forces >= 2 ids to
+    // share one, so >= 1 pair survives, with the exact uncapped hamming
+    val trip = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    def pairs(mb: Option[Int], sf: Option[Int]) =
+      Dedup.simhashPairs(trip, "doc_id", "text", 3,
+          maxBucket = mb, salvageFactor = sf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    val un = pairs(None, None)
+    val dropped = pairs(Some(2), None)
+    val salvaged = pairs(Some(2), Some(8))
+    assert(un.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(dropped.isEmpty)
+    assert(salvaged.nonEmpty, "salvage recovered nothing")
+    salvaged.foreach { case (k, h) => assert(un(k) == h) } // exact values
+    // beyond cap*factor the bucket still drops (three-tier policy)
+    assert(pairs(Some(2), Some(1)).isEmpty)
+  }
+
   test("cosineNearDupBanded: exact values, superset of full-sig blocking") {
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
     val qv = vecs.collect().map(r => r.getLong(0) ->
