@@ -39,11 +39,15 @@ object Knn {
 
   /** Probe-amplification cap (VERDICT r3 minor #3): a round explodes
     * |pending| x (2r+1)^2 probe rows — at maxRadius 16 that is 1,089
-    * cells per unfinished query, which only pays off while many queries
-    * are pending. When the next round's probe volume would exceed this,
-    * the loop stops and the (by then small or sparse-region) residue
-    * goes straight to the brute-force pass — still exact, strictly
-    * fewer probe rows. */
+    * cells per unfinished query, overkill once only a small residue is
+    * pending. When the pending set is SMALL (fits the broadcast brute
+    * path, <= maxDriverQids) and the next round's probe volume would
+    * exceed this cap, the loop stops early and the residue goes
+    * straight to the exact brute-force pass — fewer probe rows for the
+    * sparse-region stragglers. A LARGE pending set never triggers the
+    * early fallback: ring expansion via the cell equi-join is still the
+    * cheaper (and broadcast-free) plan there, however many probe rows
+    * it takes. */
   val MaxProbeRows = 64_000_000L
 
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
@@ -67,8 +71,9 @@ object Knn {
     val relational = nPending > maxDriverQids
     var results: DataFrame = null
     var r = initRadius
-    while (r <= maxRadius && nPending > 0 &&
-           nPending * (2L * r + 1) * (2L * r + 1) <= maxProbeRows) {
+    def probeTooWide: Boolean = nPending <= maxDriverQids &&
+      nPending * (2L * r + 1) * (2L * r + 1) > maxProbeRows
+    while (r <= maxRadius && nPending > 0 && !probeTooWide) {
       val probe = pending
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
       // small query sets broadcast into the probe; at large counts let
@@ -109,8 +114,14 @@ object Knn {
     if (nPending > 0) {
       // residual brute force: tiny query set x full pages (queries in
       // regions emptier than disk(maxRadius) — still exact, and the
-      // two-phase top-k keeps the reduction partition-local even here)
-      val cands = pages.crossJoin(broadcast(pending.drop("qcell")))
+      // two-phase top-k keeps the reduction partition-local even here).
+      // The broadcast hint is count-gated like every query-side
+      // broadcast in this engine: a maxRadius exhaustion with a LARGE
+      // pending set must not collect it to the driver
+      val resid = pending.drop("qcell")
+      val residHinted =
+        if (nPending <= maxDriverQids) broadcast(resid) else resid
+      val cands = pages.crossJoin(residHinted)
       results = if (results == null) topkOf(cands)
         else results.unionByName(topkOf(cands))
     }

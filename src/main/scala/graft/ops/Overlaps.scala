@@ -137,13 +137,24 @@ object Overlaps {
   def overlapsAnyPointByCells(ext: DataFrame, points: DataFrame,
                               res: Int): DataFrame = {
     import graft.functions.cell_of
+    // cached: the extent relation feeds both the cover-cell explode and
+    // the final semi-join left side — without it the upstream
+    // scan+aggregate runs twice on exactly the huge path this method
+    // targets. Cache lifetime is the CALLER's session (the minhashLsh
+    // convention; Verify/Bench clearCache between queries).
+    val e = ext.cache()
     val pts = points.select(col("lon").as("p_lon"), col("lat").as("p_lat"))
       .withColumn("cell", cell_of(col("p_lon"), col("p_lat"), res))
-    val hit = coverCells(ext, res)
+    val hit = coverCells(e, res)
       .join(pts, Seq("cell"))
       .filter(col("p_lon") >= col("lon_min") && col("p_lon") <= col("lon_max") &&
         col("p_lat") >= col("lat_min") && col("p_lat") <= col("lat_max"))
       .drop("cell", "p_lon", "p_lat")
-    ext.join(hit, ext.columns.toSeq, "left_semi")
+    // null-SAFE equality on every column: an extent row with a NULL
+    // payload column must still match its own hit copy (plain `=`
+    // would silently drop it — the theta path keeps it)
+    val a = e.alias("exta"); val h = hit.alias("exth")
+    a.join(h, ext.columns.map(c => col(s"exta.$c") <=> col(s"exth.$c"))
+      .reduce(_ && _), "left_semi")
   }
 }

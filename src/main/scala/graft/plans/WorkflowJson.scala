@@ -105,6 +105,8 @@ object WorkflowJson {
       val id = p.get("id").asText; val vec = p.get("vec").asText
       val dim = p.get("dim").asInt; val k = p.get("k").asInt
       val qmod = if (p.has("queryMod")) p.get("queryMod").asLong else 50L
+      // id % 0 is NULL in non-ANSI Spark -> silently zero queries
+      require(qmod > 0, s"ann_topk queryMod must be positive, got $qmod")
       val corpus = df.select(col(id).as("id"),
         graft.vector.Ann.quantize(col(vec)).as("v"))
       val queries = corpus.filter(col("id") % qmod === 0)

@@ -369,11 +369,11 @@ object Dedup {
     // DURABLE mode (checkpointDir set): per-round truncation goes
     // through reliable checkpoint() files, so a 100-TB CC run survives
     // executor loss mid-loop (localCheckpoint blocks die with their
-    // executor and fail the job). The caller owns the directory's
-    // lifetime — superseded rounds' files are bookkeeping-scale (one
-    // row per distinct doc id in the pair set) and are reclaimed with
-    // the directory (or by spark.cleaner.referenceTracking
-    // .cleanCheckpoints on a long-lived session).
+    // executor and fail the job). Superseded rounds' files are deleted
+    // eagerly by Checkpoints.release (same call as the local-block
+    // release), so only the final round's files — one row per distinct
+    // doc id — remain; the caller owns the directory's lifetime for
+    // those.
     checkpointDir.foreach(sc.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)

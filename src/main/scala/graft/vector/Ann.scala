@@ -54,7 +54,13 @@ object Ann {
     * paths (lsh/ivf) drop the hint and shuffle on the bucket equi-key;
     * brute-force cosineTopK loops over query CHUNKS of at most the
     * limit (each chunk still broadcasts — a shuffled cross join would
-    * replicate the corpus per shuffle partition instead). */
+    * replicate the corpus per shuffle partition instead).
+    * Cache note: each gated entry point caches its (small) query
+    * relation so the gating count and the join share one traversal;
+    * the returned plan references it lazily, so the cache lifetime is
+    * the CALLER's session — the minhashLsh convention (Verify/Bench
+    * clearCache between queries; long-lived services should clearCache
+    * or spark.catalog.uncacheTable at their own cadence). */
   val BroadcastQueryLimit = 2_000_000L
 
   /** Brute-force cosine top-k: queries (qid, qv) x corpus (id, v).
@@ -83,7 +89,10 @@ object Ann {
     val nq = q.count()
     if (nq <= broadcastLimit) chunkTopK(q)
     else {
-      val nChunks = ((nq + broadcastLimit - 1) / broadcastLimit).toInt
+      // limit <= 0 is the force-fallback convention (same as lsh/ivf):
+      // chunk at 1 query per chunk rather than divide by zero
+      val chunk = math.max(1L, broadcastLimit)
+      val nChunks = ((nq + chunk - 1) / chunk).toInt
       (0 until nChunks).map { i =>
         chunkTopK(q.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i))
       }.reduce(_ unionByName _)

@@ -423,9 +423,17 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
       val local = Dedup.clusters(pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(durable == local && durable.nonEmpty)
-      // the durable path really wrote reliable checkpoint files
-      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-        .count() > 0)
+      // the durable path really wrote reliable checkpoint files, and
+      // Checkpoints.release deleted every SUPERSEDED round eagerly —
+      // only the final label relation's rdd-* directory survives
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .toSeq
+      assert(rddDirs.size == 1,
+        s"expected exactly the final round's checkpoint, got $rddDirs")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
