@@ -74,11 +74,18 @@ object WorkflowJson {
     // pigeonhole recall guarantee holds for every accepted value and
     // an unsupported one fails fast at compile time (ADVICE r3 #1 —
     // a fixed 4-band blocking silently under-deleted at maxHamming>=4)
+    // optional scale knobs: maxBucket (band-bucket cap) and
+    // salvageFactor (sub-bucket salvage tier; requires maxBucket)
     "dedup_near" -> { (p, df) =>
       val id = p.get("id").asText; val text = p.get("text").asText
       val mh = if (p.has("maxHamming")) p.get("maxHamming").asInt else 3
+      val mb = if (p.has("maxBucket")) Some(p.get("maxBucket").asInt) else None
+      val sf = if (p.has("salvageFactor")) Some(p.get("salvageFactor").asInt)
+               else None
+      require(sf.isEmpty || mb.isDefined,
+        "dedup_near: salvageFactor requires maxBucket")
       graft.text.Dedup.keepClusterKeepers(df, id,
-        graft.text.Dedup.simhashPairs(df, id, text, mh))
+        graft.text.Dedup.simhashPairs(df, id, text, mh, mb, sf))
     },
     // ---- vector/embedding pipeline steps (VERDICT r3 missing #3) ----
     // embedding near-dup removal: quantize -> banded r-of-b hyperplane

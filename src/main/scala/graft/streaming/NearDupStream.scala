@@ -8,8 +8,9 @@ import org.apache.spark.util.LongAccumulator
 /**
  * Streaming near-duplicate detection over a continuous page stream —
  * the streaming members of the dedup family (batch twins:
- * graft.text.Dedup.simhashPairs / Dedup.candidates over minhash
- * bands). Beyond-reference (the reference is batch-only).
+ * graft.text.Dedup.simhashPairs, Dedup.candidates over minhash bands,
+ * graft.vector.Ann.bandedCandidates over hyperplane bands).
+ * Beyond-reference (the reference is batch-only).
  *
  * Shape: each page's signature (the SAME kernels as batch) explodes
  * into its pigeonhole band keys; state lives PER BAND BUCKET
@@ -201,6 +202,40 @@ object NearDupStream {
       .withWatermark("ts", s"${horizon.toSeconds} seconds")
       .select(col("band"), col("key"), col("doc_id"),
         lit(0L).as("sig"), col("ts"))
+      .as[BandEvent]
+    bandedPairStream(banded, horizon.toMillis, maxBucket,
+      (_, _) => Some(0), overflowDrops)
+      .map(p => CandHit(p.id_a, p.id_b, p.band, p.ts))
+  }
+
+  /** Embedding streaming near-dup CANDIDATES (the vector member of the
+    * streaming dedup family; batch twin: Ann.bandedCandidates — the
+    * blocking half of cosineNearDupBanded): two vectors emit a
+    * candidate the moment they share any r-of-b hyperplane band bucket
+    * within the horizon. The signature is per-row (quantize ->
+    * lshSignature — pure expressions, streaming-safe) and the band
+    * layout is the SHARED Ann.lshBandStructs, so stream and batch
+    * cannot drift. Downstream verifies exact cosine as in batch (join
+    * the candidate stream to a vector store by id). Same state
+    * discipline as the simhash/minhash streams. */
+  def embedNearDupCandidates(vecs: DataFrame, idCol: String, vecCol: String,
+                             tsCol: String, dim: Int,
+                             horizon: java.time.Duration = java.time.Duration.ofHours(1),
+                             numPlanes: Int = 16, rowsPerBand: Int = 8,
+                             maxBucket: Int = 64,
+                             overflowDrops: Option[LongAccumulator] = None)
+      : Dataset[CandHit] = {
+    import vecs.sparkSession.implicits._
+    import graft.vector.Ann
+    val banded = vecs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        Ann.lshSignature(Ann.quantize(col(vecCol)), dim, numPlanes).as("sig"))
+      .withWatermark("ts", s"${horizon.toSeconds} seconds")
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(Ann.lshBandStructs(col("sig"), numPlanes, rowsPerBand))
+          .as("bk"))
+      .select(col("bk.band").as("band"),
+        col("bk.k0").cast("string").as("key"),
+        col("doc_id"), col("sig"), col("ts"))
       .as[BandEvent]
     bandedPairStream(banded, horizon.toMillis, maxBucket,
       (_, _) => Some(0), overflowDrops)

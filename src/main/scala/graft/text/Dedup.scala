@@ -129,6 +129,29 @@ object Dedup {
       .drop("bucket_n")
   }
 
+  /** Three-tier accounting for the salvage policy — what a given
+    * (cap, salvageFactor) pair would keep whole, salvage via
+    * sub-buckets, and drop (the capBucketsSalvage companion to
+    * bucketStats' keep/drop report; same no-silent-truncation
+    * discipline). */
+  def salvageStats(bandDf: DataFrame, cap: Int,
+                   salvageFactor: Int): DataFrame = {
+    val keyCols = bandDf.columns.filter(c => c == "band" || c.startsWith("k")).toSeq
+    val hi = cap.toLong * salvageFactor
+    bandDf.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bucket_n")).as("max_bucket"),
+        sum(when(col("bucket_n") <= cap, 1L).otherwise(0L))
+          .as("n_kept_buckets"),
+        sum(when(col("bucket_n") > cap && col("bucket_n") <= hi, 1L)
+          .otherwise(0L)).as("n_salvaged_buckets"),
+        sum(when(col("bucket_n") > hi, 1L).otherwise(0L))
+          .as("n_dropped_buckets"),
+        sum(when(col("bucket_n") > hi, col("bucket_n")).otherwise(0L))
+          .as("n_dropped_rows"))
+  }
+
   /** Bucket-size distribution over a band relation — the "what would a
     * cap drop" report callers log before committing to a cap. */
   def bucketStats(bandDf: DataFrame, cap: Int): DataFrame = {

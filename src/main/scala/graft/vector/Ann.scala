@@ -149,32 +149,49 @@ object Ann {
     * so precision is exact; distinct collapses multi-band duplicates.
     * `maxBucket` caps band-bucket size before the quadratic self-join
     * (same 100-TB guard as text Dedup.capBuckets). */
-  def cosineNearDupBanded(corpus: DataFrame, dim: Int, threshold: Double,
-                          numPlanes: Int, rowsPerBand: Int,
-                          maxBucket: Option[Int] = None): DataFrame = {
+  /** The (band, k0) struct array of a banded LSH signature — the
+    * SINGLE source of the r-of-b band layout, shared by the batch
+    * banded blocking and the streaming candidate twin
+    * (NearDupStream.embedNearDupCandidates) so the two paths cannot
+    * drift (the simhashBandStructs convention). */
+  def lshBandStructs(sig: Column, numPlanes: Int,
+                     rowsPerBand: Int): Column = {
     require(numPlanes % rowsPerBand == 0, "numPlanes % rowsPerBand != 0")
     val nBands = numPlanes / rowsPerBand
     val mask = (1L << rowsPerBand) - 1L
+    array((0 until nBands).map(bnd => struct(lit(bnd).as("band"),
+      shiftright(sig, bnd * rowsPerBand).bitwiseAND(mask).as("k0"))): _*)
+  }
+
+  /** Banded candidate PAIRS (the blocking half of cosineNearDupBanded,
+    * exposed for the streaming parity contract): distinct (id_a, id_b)
+    * sharing >= 1 band bucket, a < b. `corpus` must carry (id, v). */
+  def bandedCandidates(corpus: DataFrame, dim: Int, numPlanes: Int,
+                       rowsPerBand: Int,
+                       maxBucket: Option[Int] = None): DataFrame = {
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
-      .withColumn("n2", dotQ(col("v"), col("v")))
-    val banded0 = c.select(col("id"), col("v"), col("n2"),
-        explode(array((0 until nBands).map(bnd => struct(lit(bnd).as("band"),
-          shiftright(col("sig"), bnd * rowsPerBand).bitwiseAND(mask)
-            .as("k0"))): _*)).as("bk"))
-      .select(col("id"), col("v"), col("n2"),
-        col("bk.band").as("band"), col("bk.k0").as("k0"))
+    val banded0 = c.select(col("id"),
+        explode(lshBandStructs(col("sig"), numPlanes, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.k0").as("k0"))
     val banded = maxBucket
       .map(cap => graft.text.Dedup.capBuckets(banded0, cap))
       .getOrElse(banded0)
     val a = banded.alias("a"); val b = banded.alias("b")
     // distinct on the id PAIR only (a pair sharing several bands must
-    // not shuffle its vector payload once per band); the verify joins
-    // vectors + precomputed norms back by id
-    val pairs = a.join(b,
+    // not shuffle any payload once per band); verifies join by id
+    a.join(b,
         col("a.band") === col("b.band") && col("a.k0") === col("b.k0") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  def cosineNearDupBanded(corpus: DataFrame, dim: Int, threshold: Double,
+                          numPlanes: Int, rowsPerBand: Int,
+                          maxBucket: Option[Int] = None): DataFrame = {
+    val c = corpus.withColumn("n2", dotQ(col("v"), col("v")))
+    val pairs = bandedCandidates(corpus, dim, numPlanes, rowsPerBand,
+      maxBucket)
     val side = c.select(col("id"), col("v"), col("n2"))
     pairs
       .join(side.select(col("id").as("id_a"), col("v").as("va"),

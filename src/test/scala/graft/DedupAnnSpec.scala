@@ -311,6 +311,23 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     salvaged.foreach { case (k, h) => assert(un(k) == h) } // exact values
     // beyond cap*factor the bucket still drops (three-tier policy)
     assert(pairs(Some(2), Some(1)).isEmpty)
+    // the three-tier accounting report matches the fixture's buckets:
+    // with cap 2 / factor 8, the n=3 buckets all salvage, nothing drops
+    import graft.functions.simhash60
+    val nib = trip.select($"doc_id".as("id"), simhash60($"text").as("sig"))
+      .select($"id", explode(Dedup.simhashBandStructs($"sig")).as("bk"))
+      .select($"id", $"bk.band".as("band"), $"bk.k0".as("k0"))
+    val st = Dedup.salvageStats(nib, 2, 8).collect()(0)
+    assert(st.getAs[Long]("n_salvaged_buckets") > 0)
+    assert(st.getAs[Long]("n_dropped_buckets") == 0)
+    assert(st.getAs[Long]("n_kept_buckets") +
+      st.getAs[Long]("n_salvaged_buckets") == st.getAs[Long]("n_buckets"))
+    // factor 1 degenerates to bucketStats' keep/drop split
+    val st1 = Dedup.salvageStats(nib, 2, 1).collect()(0)
+    val bs = Dedup.bucketStats(nib, 2).collect()(0)
+    assert(st1.getAs[Long]("n_dropped_buckets") ==
+      bs.getAs[Long]("n_dropped_buckets"))
+    assert(st1.getAs[Long]("n_salvaged_buckets") == 0)
   }
 
   test("cosineNearDupBanded: exact values, superset of full-sig blocking") {

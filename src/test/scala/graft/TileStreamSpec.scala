@@ -206,6 +206,36 @@ class TileStreamSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming embed candidates == batch banded blocking on same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val vecs = (0L until 20L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1), t(i))
+    }
+    val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("vec_id", "emb", "ts")
+    val q = graft.streaming.NearDupStream
+      .embedNearDupCandidates(stream, "vec_id", "emb", "ts", dim = 16,
+        numPlanes = 8, rowsPerBand = 4)
+      .writeStream.format("memory").queryName("embed_cand_stream")
+      .outputMode("append").start()
+    // two batches: candidates must surface across batch boundaries
+    mem.addData(vecs.take(10): _*)
+    q.processAllAvailable()
+    mem.addData(vecs.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("embed_cand_stream")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val corpus = vecs.map(v => (v._1, v._2)).toDF("id", "emb")
+      .select(col("id"), graft.vector.Ann.quantize(col("emb")).as("v"))
+    val want = graft.vector.Ann.bandedCandidates(corpus, 16, 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("streaming bucket cap: overflow drops are counted, not silent") {
     implicit val sqlCtx = spark.sqlContext
     def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
