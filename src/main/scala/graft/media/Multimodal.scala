@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
  * batch of rows, model/codec handle reused across the partition).
  *
  * IMAGE decode is REAL: the JDK's `javax.imageio` reads PNG/JPEG/BMP/GIF
- * with zero external deps (see `decodeReal`). Audio/video codecs do not
- * ship in this container, so non-image payloads fall through to
- * `fakeFeatures`, the deterministic stand-in that keeps the Spark-side
- * plumbing (schema, batching, partitioning, column shapes) real and
- * testable for every modality.
+ * with zero external deps (see `decodeReal`). AUDIO decode is REAL for
+ * the container formats the JDK ships codecs for: WAV/AIFF/AU carrying
+ * PCM (see `decodeAudioReal`, javax.sound.sampled). Compressed audio
+ * (mp3/ogg) and video codecs do not ship in this container, so those
+ * payloads fall through to `fakeFeatures`, the deterministic stand-in
+ * that keeps the Spark-side plumbing (schema, batching, partitioning,
+ * column shapes) real and testable for every modality.
  */
 object Multimodal {
 
@@ -78,11 +80,89 @@ object Multimodal {
     }
   }
 
-  /** Image decode with the deterministic fallback for undecodable
-    * payloads — the default `extractFeatures` decoder. */
+  /** True iff the payload starts with a magic header the JDK's
+    * javax.sound.sampled stack decodes without external codecs:
+    * WAV (RIFF....WAVE), AIFF/AIFC (FORM....AIF), AU (.snd). */
+  def looksLikeAudio(payload: Array[Byte]): Boolean =
+    payload.length >= 12 && (
+      (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+        payload(10) == 'V' && payload(11) == 'E') ||
+      (payload(0) == 'F' && payload(1) == 'O' && payload(2) == 'R' &&
+        payload(3) == 'M' && payload(8) == 'A' && payload(9) == 'I' &&
+        payload(10) == 'F') ||
+      (payload(0) == '.' && payload(1) == 's' && payload(2) == 'n' &&
+        payload(3) == 'd'))
+
+  /** Real audio decode (JDK javax.sound.sampled — WAV/AIFF/AU with
+    * 8/16-bit PCM): features are (sampleRate, channels, frames,
+    * mean |amplitude| of up to 2 channels) — the shape a downstream
+    * audio-quality filter consumes (silence/clipping gates). Means are
+    * exact integer sums divided once — deterministic at any
+    * parallelism. Non-audio magic, compressed encodings (mp3 inside
+    * WAV, ULAW, float PCM) and corrupt bodies return null so callers
+    * route them to the stand-in; the catch is NonFatal for the same
+    * reason as the image path (header parsers throw RuntimeExceptions
+    * on truncated bodies). */
+  def decodeAudioReal(payload: Array[Byte]): Array[Float] = {
+    if (!looksLikeAudio(payload)) return null
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = fmt.getSampleSizeInBits
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) null
+        else {
+          val ch = fmt.getChannels
+          val big = fmt.isBigEndian
+          val frameSize = fmt.getFrameSize
+          val data = ais.readAllBytes()
+          val frames = data.length / frameSize
+          if (frames == 0) null
+          else {
+            val nCh = math.min(ch, 2)
+            val sums = new Array[Long](nCh)
+            val bps = bits / 8
+            var f = 0
+            while (f < frames) {
+              var c = 0
+              while (c < nCh) {
+                val o = f * frameSize + c * bps
+                val s =
+                  if (bits == 8)
+                    if (signed) data(o).toInt else (data(o) & 0xff) - 128
+                  else {
+                    val (b0, b1) = if (big) (data(o), data(o + 1))
+                                   else (data(o + 1), data(o))
+                    if (signed) (b0 << 8) | (b1 & 0xff) // b0 carries the sign
+                    else (((b0 & 0xff) << 8) | (b1 & 0xff)) - 32768
+                  }
+                sums(c) += math.abs(s.toLong)
+                c += 1
+              }
+              f += 1
+            }
+            Array(fmt.getSampleRate, ch.toFloat, frames.toFloat) ++
+              sums.map(s => (s.toDouble / frames).toFloat)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Image/audio decode with the deterministic fallback for
+    * undecodable payloads — the default `extractFeatures` decoder. */
   def decodeOrFake(payload: Array[Byte]): Array[Float] = {
-    val real = decodeReal(payload)
-    if (real != null) real else fakeFeatures(payload)
+    val img = decodeReal(payload)
+    if (img != null) img
+    else {
+      val aud = decodeAudioReal(payload)
+      if (aud != null) aud else fakeFeatures(payload)
+    }
   }
 
   /** Deterministic fake "decode": 4 features derived from the bytes

@@ -56,6 +56,42 @@ class MediaLineageSpec extends AnyFunSuite {
     assert(feats.head.features.sameElements(f))
   }
 
+  test("decodeAudioReal decodes a synthetic WAV (JDK sound stack)") {
+    // deterministic mono 16-bit PCM: a 32-frame sawtooth with known
+    // mean |amplitude|
+    val frames = 32
+    val pcm = new Array[Byte](frames * 2)
+    var sum = 0L
+    for (i <- 0 until frames) {
+      val s = (i * 1000 - 16000).toShort // -16000 .. 15000
+      sum += math.abs(s.toLong)
+      pcm(i * 2) = (s & 0xff).toByte           // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.looksLikeAudio(wav) && !Multimodal.looksLikeImage(wav))
+    val f = Multimodal.decodeAudioReal(wav)
+    assert(f != null)
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == frames.toFloat)
+    assert(f(3) == (sum.toDouble / frames).toFloat) // exact mean |amp|
+    // determinism + the decodeOrFake routing (image miss -> audio hit)
+    assert(Multimodal.decodeAudioReal(wav).sameElements(f))
+    assert(Multimodal.decodeOrFake(wav).sameElements(f))
+    // a truncated body with a valid magic falls back, not crashes
+    val corrupt = wav.take(16)
+    assert(Multimodal.decodeAudioReal(corrupt) == null)
+    assert(Multimodal.decodeOrFake(corrupt)
+      .sameElements(Multimodal.fakeFeatures(corrupt)))
+    // non-audio magic stays out of the sound stack entirely
+    assert(Multimodal.decodeAudioReal(Array[Byte](1, 2, 3)) == null)
+  }
+
   test("end-to-end resumable tile job: crash + resume == one-shot") {
     import graft.functions._
     import graft.sources.Pages
