@@ -74,14 +74,70 @@ object ScalingDedup {
         maxBucket = Some(64))))
     // warm (JIT + codegen) on the small size, then measure both sizes
     jobs.foreach { case (name, j) => run(s"warm-$name", n0 / 5, j) }
-    val ratios = jobs.map { case (name, j) =>
-      val t1 = run(name, n0, j)
-      val t4 = run(name, n0 * 4, j)
-      println(f"DEDUPSCALE $name%-10s 4x-ratio=${t4 / t1}%.2f (linear ~4, quadratic ~16)")
-      name -> t4 / t1
+    // mode=stages: per-stage breakdown of the minhash pipeline at n0
+    if (sys.env.get("SPARK_GRAFT_DEDUP_MODE").contains("stages")) {
+      val c = corpus(spark, n0, cpus * 4).cache()
+      c.count()
+      def st(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        println(f"DEDUPSTAGE $name%-16s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$rows")
+      }
+      val shAll = Dedup.docShinglesAll(c, "doc_id", "text")
+      st("shinglesAll")(shAll)
+      st("minhash")(Dedup.minhash(shAll))
+      val bnd = Dedup.bands(Dedup.minhash(shAll)).cache()
+      st("bands+cache")(bnd)
+      val cand = Dedup.candidates(bnd, Some(64)).cache()
+      st("candidates")(cand)
+      val candIds = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id")))
+      val sh = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
+        .distinct().cache()
+      st("semi+distinct")(sh)
+      st("jaccard")(Dedup.jaccard(cand, sh)
+        .filter(col("jaccard") >= 0.4))
+      // EXPERIMENT: set-based verify — one collect_set shuffle + two
+      // broadcast joins + per-pair array intersection
+      val sets = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
+        .groupBy("id").agg(collect_set(col("shingle")).as("ss"))
+        .select(col("id"), col("ss"), size(col("ss")).cast("long").as("n"))
+        .cache()
+      st("collect_sets")(sets)
+      st("jaccard-sets") {
+        cand
+          .join(broadcast(sets.select(col("id").as("id_a"),
+            col("ss").as("ss_a"), col("n").as("n_a"))), Seq("id_a"))
+          .join(broadcast(sets.select(col("id").as("id_b"),
+            col("ss").as("ss_b"), col("n").as("n_b"))), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("ss_a"), col("ss_b"))).cast("long")
+              .as("common"), col("n_a"), col("n_b"))
+          .withColumn("jaccard", col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common")).cast("double"))
+          .filter(col("jaccard") >= 0.4)
+      }
+      spark.catalog.clearCache()
+      spark.stop()
+      return
     }
-    println("DEDUPSCALE " + ratios.map { case (n, r) => f"$n=$r%.2f" }
-      .mkString("summary: ", " ", ""))
+    // mode=single: one size only (for A/B runs across parallelism
+    // levels — set SPARK_GRAFT_CPUS per run and compare the walls)
+    if (sys.env.get("SPARK_GRAFT_DEDUP_MODE").contains("single")) {
+      jobs.foreach { case (name, j) =>
+        val best = Seq.fill(2)(run(name, n0, j)).min
+        println(f"DEDUPSCALE $name%-10s cpus=$cpus best=$best%.2fs")
+      }
+    } else {
+      val ratios = jobs.map { case (name, j) =>
+        val t1 = run(name, n0, j)
+        val t4 = run(name, n0 * 4, j)
+        println(f"DEDUPSCALE $name%-10s 4x-ratio=${t4 / t1}%.2f (linear ~4, quadratic ~16)")
+        name -> t4 / t1
+      }
+      println("DEDUPSCALE " + ratios.map { case (n, r) => f"$n=$r%.2f" }
+        .mkString("summary: ", " ", ""))
+    }
     spark.stop()
   }
 }

@@ -87,6 +87,16 @@ object WorkflowJson {
       graft.text.Dedup.keepClusterKeepers(df, id,
         graft.text.Dedup.simhashPairs(df, id, text, mh, mb, sf))
     },
+    // the composed C4-style cleaning flagship as ONE declarative step
+    // (params: id, text; optional minTokens, maxMeanTokLen) — the same
+    // oracle-gated Clean.cleanCorpus the q_clean_corpus gate runs
+    "clean_corpus" -> { (p, df) =>
+      val minTok = if (p.has("minTokens")) p.get("minTokens").asLong else 15L
+      val maxMtl =
+        if (p.has("maxMeanTokLen")) p.get("maxMeanTokLen").asDouble else 4.9
+      graft.text.Clean.cleanCorpus(df, p.get("id").asText,
+        p.get("text").asText, minTok, maxMtl)
+    },
     // ---- vector/embedding pipeline steps (VERDICT r3 missing #3) ----
     // embedding near-dup removal: quantize -> banded r-of-b hyperplane
     // blocking -> exact-cosine verify -> connected components -> keep

@@ -42,6 +42,20 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash verify: set-based fast path == pair-join fallback") {
+    // setVerifyLimit = 0 forces the shuffled pair-join formulation; the
+    // default takes the collect_set + broadcast + array_intersect path.
+    // Same candidates, same exact values either way.
+    def rows(limit: Long) =
+      Dedup.minhashLsh(docs, "doc_id", "text", 0.4, setVerifyLimit = limit)
+        .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+          (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+            r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    val fast = rows(Dedup.SetVerifyCandLimit)
+    val fallback = rows(0L)
+    assert(fast == fallback && fast.nonEmpty)
+  }
+
   test("simhash: identical docs at hamming 0; band join == brute force") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap

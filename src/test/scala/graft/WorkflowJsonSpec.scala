@@ -68,6 +68,19 @@ class WorkflowJsonSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want))
   }
 
+  test("clean_corpus step == the oracle-gated composed pipeline") {
+    val j =
+      """{"cc": {"inp": "documents", "operations": {
+        |  "clean_corpus": {"id": "doc_id", "text": "text"},
+        |  "select": ["doc_id"]}}}""".stripMargin
+    val got = WorkflowJson.run(spark, sfDir, j)("cc")
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.sources.Pages.table(spark, sfDir, "documents")
+    val want = graft.text.Clean.cleanCorpus(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty && got.size < docs.count())
+  }
+
   test("vector steps: embed_neardup + ann_topk chains == hand-built plans") {
     // VERDICT r3 missing #3: a JSON-described cleaning job must be able
     // to include the embedding stage
