@@ -88,6 +88,11 @@ object ScalingDedup {
       st("minhash")(Dedup.minhash(shAll))
       val bnd = Dedup.bands(Dedup.minhash(shAll)).cache()
       st("bands+cache")(bnd)
+      // (Join-strategy experiments ran here in round 4: a shuffle_hash
+      // hint on the band self-join and a cached capped relation both
+      // measure within noise of the SMJ plan once warm — the cold-run
+      // deltas were cache/JIT ordering artifacts. The band self-join's
+      // cost is inherent; nothing to fix.)
       val cand = Dedup.candidates(bnd, Some(64)).cache()
       st("candidates")(cand)
       val candIds = cand.select(col("id_a").as("id"))

@@ -116,6 +116,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("minhash verify takes the set-based path at gate scale") {
+    // the shingle relation must cross the wire ONCE (map-side-combining
+    // collect_set) and the small set relation broadcast into the pair
+    // joins — not the distinct + two shuffle joins of the fallback
+    val p = plan("q_minhash_lsh")
+    assert(p.contains("collect_set"), s"set-based verify not taken:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"set relation not broadcast into the pair joins:\n$p")
+  }
+
   test("semi-points cell fallback: equi-join candidates, no cross product") {
     val p = plan("q_semi_points_cells")
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
