@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * amortizing as n grows; a quadratic stage would read ~16).
   *
   * The corpus is seeded by row id (no external data): 40-token texts
-  * over a 4096-word vocabulary via an LCG; every 10th doc is an exact
-  * duplicate of the doc 10 ids earlier, every 10th+1 doc a near-dup of
-  * it (same prefix, 2-token tail appended — shares most shingles and
-  * band buckets), the rest unique. ~20% of docs are therefore involved
-  * in dup pairs at every scale, so candidate volumes grow linearly by
-  * construction, like a fixed-dup-rate web crawl.
+  * over a 4096-word vocabulary via an LCG. Docs with id % 10 in 2..9
+  * are unique; id % 10 == 0 is an EXACT duplicate of the unique doc at
+  * id-1; id % 10 == 1 is a NEAR-dup of the unique doc at id-3 (same
+  * 40-token prefix, one "zzNN" token appended — shares all but the
+  * last k shingles, so it lands in the same minhash band buckets).
+  * ~20% of docs are therefore involved in dup pairs at every scale,
+  * so candidate volumes grow linearly by construction, like a
+  * fixed-dup-rate web crawl.
   */
 object ScalingDedup {
 

@@ -40,15 +40,26 @@ object Knn {
   /** Probe-amplification cap (VERDICT r3 minor #3): a round explodes
     * |pending| x (2r+1)^2 probe rows — at maxRadius 16 that is 1,089
     * cells per unfinished query, overkill once only a small residue is
-    * pending. When the pending set is SMALL (fits the broadcast brute
-    * path, <= maxDriverQids) and the next round's probe volume would
-    * exceed this cap, the loop stops early and the residue goes
-    * straight to the exact brute-force pass — fewer probe rows for the
-    * sparse-region stragglers. A LARGE pending set never triggers the
-    * early fallback: ring expansion via the cell equi-join is still the
-    * cheaper (and broadcast-free) plan there, however many probe rows
-    * it takes. */
-  val MaxProbeRows = 64_000_000L
+    * pending. When the pending set is SMALL (<= maxDriverQids) and the
+    * next round's probe volume would exceed this cap, the loop stops
+    * early and the residue goes straight to the exact brute-force
+    * pass. The default is sized to actually engage inside the
+    * small-pending tier (10k pending at r=16 is ~10.9M probe rows —
+    * above this cap, below the old 64M default that could never fire
+    * with maxDriverQids 10k): the trade is one full pages pass against
+    * up to 1,089 exploded cells per straggler per remaining round.
+    * When the pages side is so large that ring expansion beats even
+    * one brute pass, raise maxProbeRows to keep expanding. A LARGE
+    * pending set never triggers the early fallback: ring expansion via
+    * the cell equi-join is the cheaper plan there, however many probe
+    * rows it takes. */
+  val MaxProbeRows = 4_000_000L
+
+  /** Row bound for broadcasting the residual brute-force query side
+    * (the Ann.BroadcastQueryLimit convention — qid/qlon/qlat rows are
+    * tens of bytes, so 2M rows is tens of MB); beyond it the residue
+    * runs as a chunked broadcast loop. */
+  val BruteBroadcastLimit = 2_000_000L
 
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
     * Returns (qid, rank, id, dist2) with rank 1..k. */
@@ -112,18 +123,28 @@ object Knn {
       r *= 2
     }
     if (nPending > 0) {
-      // residual brute force: tiny query set x full pages (queries in
+      // residual brute force: pending queries x full pages (queries in
       // regions emptier than disk(maxRadius) — still exact, and the
       // two-phase top-k keeps the reduction partition-local even here).
-      // The broadcast hint is count-gated like every query-side
-      // broadcast in this engine: a maxRadius exhaustion with a LARGE
-      // pending set must not collect it to the driver
-      val resid = pending.drop("qcell")
-      val residHinted =
-        if (nPending <= maxDriverQids) broadcast(resid) else resid
-      val cands = pages.crossJoin(residHinted)
-      results = if (results == null) topkOf(cands)
-        else results.unionByName(topkOf(cands))
+      // The query side ALWAYS broadcasts — an unhinted crossJoin plans
+      // as CartesianProduct, replicating the big pages side — but the
+      // broadcast is row-count bounded: beyond BruteBroadcastLimit the
+      // residue runs as a deterministic chunked loop (each qid in
+      // exactly one xxhash64-modulo chunk), the Ann.cosineTopK pattern.
+      val resid = pending.drop("qcell").cache()
+      def bruteTopK(qs: DataFrame): DataFrame =
+        topkOf(pages.crossJoin(broadcast(qs)))
+      val brute =
+        if (nPending <= BruteBroadcastLimit) bruteTopK(resid)
+        else {
+          val nChunks =
+            ((nPending + BruteBroadcastLimit - 1) / BruteBroadcastLimit).toInt
+          (0 until nChunks).map { i =>
+            bruteTopK(resid.filter(
+              pmod(xxhash64(col("qid")), lit(nChunks)) === i))
+          }.reduce(_ unionByName _)
+        }
+      results = if (results == null) brute else results.unionByName(brute)
     }
     results
   }

@@ -152,9 +152,12 @@ object Overlaps {
       .drop("cell", "p_lon", "p_lat")
     // null-SAFE equality on every column: an extent row with a NULL
     // payload column must still match its own hit copy (plain `=`
-    // would silently drop it — the theta path keeps it)
+    // would silently drop it — the theta path keeps it). Column names
+    // are backtick-quoted so payload columns containing dots resolve
+    // as names, not nested-field paths.
     val a = e.alias("exta"); val h = hit.alias("exth")
-    a.join(h, ext.columns.map(c => col(s"exta.$c") <=> col(s"exth.$c"))
+    def q(c: String): String = s"`${c.replace("`", "``")}`"
+    a.join(h, ext.columns.map(c => col(s"exta.${q(c)}") <=> col(s"exth.${q(c)}"))
       .reduce(_ && _), "left_semi")
   }
 }

@@ -221,23 +221,34 @@ object Dedup {
   /** Candidate-pair count below which the exact-Jaccard verify runs
     * SET-BASED: per-candidate-doc shingle sets via collect_set (ONE
     * map-side-combining shuffle of raw occurrences — replaces the
-    * distinct shuffle of the full candidate shingle relation), then the
-    * (small) set relation broadcasts into two pair joins and a per-pair
-    * array intersection. Measured at 800k docs / 160k pairs: verify
-    * tail 7.4 s -> 5.8 s at local[32], and at 100 TB the win is the
+    * distinct shuffle of the full candidate shingle relation), then
+    * two pair joins against the set relation and a per-pair array
+    * intersection. Measured at 800k docs / 160k pairs: verify tail
+    * 7.4 s -> 5.8 s at local[32], and at 100 TB the win is the
     * shuffled BYTES — the shingle relation crosses the wire once, not
-    * three times. The limit is far below BroadcastCandLimit because a
-    * set row carries the whole shingle array (~300 B), not 2 longs.
-    * Above it, the pair-join formulation (jaccard) is the right plan:
-    * everything shuffles, nothing broadcasts. Both paths produce
-    * identical values (set semantics either way). */
+    * three times. Above the limit, the pair-join formulation (jaccard)
+    * is the right plan: everything shuffles, nothing is driver-
+    * materialized, and per-row memory stays flat (no array rows).
+    * Both paths produce identical values (set semantics either way). */
   val SetVerifyCandLimit = 200_000L
+
+  /** Byte budget for BROADCASTING the set relation into the pair
+    * joins. The pair count says nothing about document length — 150k
+    * pairs of 100 KB documents carry tens of GB of shingles — so the
+    * broadcast hint is gated on the MEASURED shingle volume of the
+    * candidate docs (summed during the same aggregation that builds
+    * the sets; an upper bound since raw occurrences count duplicates).
+    * Over budget, the same set-based joins run shuffled — still one
+    * shingle-relation shuffle + two set-relation shuffles, strictly
+    * fewer bytes than the pair-join path. */
+  val SetVerifyBroadcastBytes = 256L * 1024 * 1024
 
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  threshold: Double = 0.4, numHashes: Int = 8,
                  rowsPerBand: Int = 2, k: Int = 3,
                  maxBucket: Option[Int] = None,
-                 setVerifyLimit: Long = SetVerifyCandLimit): DataFrame = {
+                 setVerifyLimit: Long = SetVerifyCandLimit,
+                 setBroadcastBytes: Long = SetVerifyBroadcastBytes): DataFrame = {
     val shAll = docShinglesAll(df, idCol, textCol, k)
     val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
     val cand = candidates(bnd, maxBucket).cache()
@@ -251,13 +262,27 @@ object Dedup {
     // joins instead of OOMing the driver
     val nCand = cand.count()
     if (nCand <= setVerifyLimit) {
+      // `bytes` rides the same aggregation that builds the sets (raw
+      // occurrences — an upper bound on the true set volume); cached so
+      // the byte-gating count and both pair joins share one traversal
+      // (caller-owned lifetime, the minhashLsh convention)
       val sets = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
-        .groupBy("id").agg(collect_set(col("shingle")).as("ss"))
-        .select(col("id"), col("ss"), size(col("ss")).cast("long").as("n"))
+        .groupBy("id").agg(collect_set(col("shingle")).as("ss"),
+          sum(octet_length(col("shingle")).cast("long")).as("bytes"))
+        .select(col("id"), col("ss"), size(col("ss")).cast("long").as("n"),
+          col("bytes"))
+        .cache()
+      val totalBytes = sets.agg(coalesce(sum(col("bytes")), lit(0L)))
+        .first().getLong(0)
+      // the hint is gated on measured BYTES, not pair count — long
+      // documents must not ride a driver-sized broadcast
+      val hint: DataFrame => DataFrame =
+        if (totalBytes <= setBroadcastBytes) df => broadcast(df)
+        else df => df
       cand
-        .join(broadcast(sets.select(col("id").as("id_a"),
+        .join(hint(sets.select(col("id").as("id_a"),
           col("ss").as("ss_a"), col("n").as("n_a"))), Seq("id_a"))
-        .join(broadcast(sets.select(col("id").as("id_b"),
+        .join(hint(sets.select(col("id").as("id_b"),
           col("ss").as("ss_b"), col("n").as("n_b"))), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("ss_a"), col("ss_b"))).cast("long")
@@ -271,7 +296,10 @@ object Dedup {
         if (nCand <= BroadcastCandLimit) broadcast(candIds) else candIds
       val sh = shAll.join(candIdsHinted, Seq("id"), "left_semi")
         .distinct().cache()
+      // normalized column order: identical schema on both verify paths
       jaccard(cand, sh).filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("common"),
+          col("n_a"), col("n_b"), col("jaccard"))
     }
   }
 

@@ -54,6 +54,14 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     val fast = rows(Dedup.SetVerifyCandLimit)
     val fallback = rows(0L)
     assert(fast == fallback && fast.nonEmpty)
+    // byte-gated broadcast: over-budget shingle volume (budget 0) keeps
+    // the set path but drops the hint — values identical again
+    val shuffledSets =
+      Dedup.minhashLsh(docs, "doc_id", "text", 0.4, setBroadcastBytes = 0L)
+        .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+          (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+            r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    assert(shuffledSets == fast)
   }
 
   test("simhash: identical docs at hamming 0; band join == brute force") {
