@@ -659,6 +659,21 @@ object SparkEntry {
         maxBucket = Some(MinhashMaxBucket))
       .orderBy("id_a", "id_b")
 
+  /** Salvage factor for the minhash salvage gate (tight cap 2 x 8 —
+    * all three policy tiers engage on the test corpus). */
+  val MinhashSalvageFactor = 8
+
+  /** MinHash LSH through the three-tier SALVAGE band-bucket policy
+    * (mirror of q_simhash_salvaged for the minhash family) — strictly
+    * more surviving pairs than q_minhash_capped at identical
+    * precision, salvage-aware oracle. */
+  def qMinhashSalvaged(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Dedup.minhashLsh(
+        graft.sources.Corpus.withDups(spark, dir), "doc_id", "text", 0.4,
+        maxBucket = Some(MinhashMaxBucket),
+        salvageFactor = Some(MinhashSalvageFactor))
+      .orderBy("id_a", "id_b")
+
   /** Scale-tier MinHash configuration (128 hashes, 16 bands of 8 — the
     * recall/precision point real CC-scale dedup runs at) verified
     * through the oracle on a corpus subset. */
@@ -855,6 +870,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_ngram_capped" -> (qNgramCapped _),
     "q_minhash_capped" -> (qMinhashCapped _),
+    "q_minhash_salvaged" -> (qMinhashSalvaged _),
     "q_minhash_wide" -> (qMinhashWide _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),

@@ -542,7 +542,8 @@ object OracleQueries {
   private def minhashLshSql(numHashes: Int, rowsPerBand: Int,
                             threshold: Double,
                             corpusFilter: Option[String],
-                            maxBucket: Option[Int] = None): String = {
+                            maxBucket: Option[Int] = None,
+                            salvageFactor: Option[Int] = None): String = {
     val nSalts = numHashes / 4
     val nBands = numHashes / rowsPerBand
     val src = corpusFilter.map(_ => "corpusf").getOrElse("corpus")
@@ -558,18 +559,42 @@ object OracleQueries {
         .map(r => s"m${b * rowsPerBand + r} AS k$r").mkString(", ")
       s"SELECT id, $b AS band, $ks FROM minh"
     }.mkString("\n  UNION ALL ")
-    val keyEq = (0 until rowsPerBand).map(r => s"a.k$r = b.k$r").mkString(" AND ")
+    val keyEq = ((0 until rowsPerBand).map(r => s"a.k$r = b.k$r") ++
+      (if (salvageFactor.isDefined) Seq("a.ksub = b.ksub") else Nil))
+      .mkString(" AND ")
     // cap-aware: replay capBuckets (count ids per band bucket, drop
-    // whole buckets above the cap) before candidate generation
+    // whole buckets above the cap) — or, with salvageFactor, the full
+    // three-tier capBucketsSalvage policy including the md5-salted
+    // sub-bucket assignment (trunc() around the int division: DuckDB
+    // CAST rounds where Spark cast truncates)
     val keyCols = "band" +: (0 until rowsPerBand).map(r => s"k$r")
-    val capCtes = maxBucket.map { cap =>
+    val bandsSz =
       s"""bandsz AS (SELECT ${keyCols.mkString(", ")}, count(*) AS n
-         |  FROM bands GROUP BY ALL),
-         |bandsk AS (SELECT bands.* FROM bands JOIN bandsz
-         |  ON ${keyCols.map(c => s"bands.$c = bandsz.$c").mkString(" AND ")}
-         |  WHERE bandsz.n <= $cap),
-         |""".stripMargin
-    }.getOrElse("")
+         |  FROM bands GROUP BY ALL)""".stripMargin
+    val capJoinOn =
+      keyCols.map(c => s"bands.$c = bandsz.$c").mkString(" AND ")
+    val capCtes = (maxBucket, salvageFactor) match {
+      case (Some(cap), Some(f)) =>
+        s"""$bandsSz,
+           |bandsk0 AS (SELECT bands.*, bandsz.n,
+           |    md5(CAST(bands.id AS VARCHAR)) AS md
+           |  FROM bands JOIN bandsz ON $capJoinOn
+           |  WHERE bandsz.n <= ${cap.toLong * f}),
+           |bandsk AS (SELECT id, ${keyCols.mkString(", ")},
+           |    CASE WHEN n <= $cap THEN 0
+           |      ELSE ${h32FromMd("md")} %
+           |        CAST(trunc((n + ${cap - 1}) / $cap) AS BIGINT)
+           |    END AS ksub
+           |  FROM bandsk0),
+           |""".stripMargin
+      case (Some(cap), None) =>
+        s"""$bandsSz,
+           |bandsk AS (SELECT bands.* FROM bands JOIN bandsz
+           |  ON $capJoinOn
+           |  WHERE bandsz.n <= $cap),
+           |""".stripMargin
+      case (None, _) => ""
+    }
     val candSrc = if (maxBucket.isEmpty) "bands" else "bandsk"
     s"""WITH $corpusCte,
        |$filterCte${shChainFrom(src)},
@@ -710,6 +735,12 @@ object OracleQueries {
     // survive wherever the cap engages
     "q_minhash_capped" -> minhashLshSql(8, 2, 0.4, None,
       maxBucket = Some(graft.SparkEntry.MinhashMaxBucket)),
+
+    // SALVAGE-AWARE minhash oracle (mirror of q_simhash_salvaged):
+    // replays keep/salvage/drop including the sub-bucket hash
+    "q_minhash_salvaged" -> minhashLshSql(8, 2, 0.4, None,
+      maxBucket = Some(graft.SparkEntry.MinhashMaxBucket),
+      salvageFactor = Some(graft.SparkEntry.MinhashSalvageFactor)),
 
     "q_minhash_wide" -> minhashLshSql(128, 8, 0.4, Some("doc_id % 3 = 0")),
 

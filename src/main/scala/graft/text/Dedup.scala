@@ -167,9 +167,17 @@ object Dedup {
 
   /** Candidate pairs: ids sharing any band bucket, a < b, distinct.
     * `maxBucket` caps bucket size first (the 100-TB guard — see
-    * capBuckets; None = exact LSH semantics). */
-  def candidates(bandDf: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
-    val capped = maxBucket.map(capBuckets(bandDf, _)).getOrElse(bandDf)
+    * capBuckets; None = exact LSH semantics); `salvageFactor` upgrades
+    * the cap to the three-tier keep/salvage/drop policy
+    * (capBucketsSalvage — the sub-bucket id joins as an extra key via
+    * the k-prefix convention). */
+  def candidates(bandDf: DataFrame, maxBucket: Option[Int] = None,
+                 salvageFactor: Option[Int] = None): DataFrame = {
+    val capped = (maxBucket, salvageFactor) match {
+      case (Some(cap), Some(f)) => capBucketsSalvage(bandDf, cap, f)
+      case (Some(cap), None) => capBuckets(bandDf, cap)
+      case (None, _) => bandDf
+    }
     val keyCols = capped.columns.filter(c => c == "band" || c.startsWith("k"))
     val a = capped.alias("a"); val b = capped.alias("b")
     val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
@@ -248,10 +256,11 @@ object Dedup {
                  rowsPerBand: Int = 2, k: Int = 3,
                  maxBucket: Option[Int] = None,
                  setVerifyLimit: Long = SetVerifyCandLimit,
-                 setBroadcastBytes: Long = SetVerifyBroadcastBytes): DataFrame = {
+                 setBroadcastBytes: Long = SetVerifyBroadcastBytes,
+                 salvageFactor: Option[Int] = None): DataFrame = {
     val shAll = docShinglesAll(df, idCol, textCol, k)
     val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
-    val cand = candidates(bnd, maxBucket).cache()
+    val cand = candidates(bnd, maxBucket, salvageFactor).cache()
     // no distinct: a semi-join right side tolerates duplicates, and the
     // distinct would cost one more (tiny but scheduled) shuffle
     val candIds = cand.select(col("id_a").as("id"))

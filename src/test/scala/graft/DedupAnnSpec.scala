@@ -352,6 +352,31 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(st1.getAs[Long]("n_salvaged_buckets") == 0)
   }
 
+  test("minhash salvage recovers pairs the drop policy loses, exactly") {
+    // three identical docs share every band bucket (n = 3): the drop
+    // policy at cap 2 loses all pairs, salvage splits into 2
+    // sub-buckets and pigeonhole recovers >= 1, verified at the exact
+    // uncapped jaccard
+    val trip = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    def pairs(mb: Option[Int], sf: Option[Int]) =
+      Dedup.minhashLsh(trip, "doc_id", "text", 0.4, maxBucket = mb,
+          salvageFactor = sf)
+        .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+          r.getAs[Double]("jaccard"))).toMap
+    val un = pairs(None, None)
+    val dropped = pairs(Some(2), None)
+    val salvaged = pairs(Some(2), Some(8))
+    assert(un.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(dropped.isEmpty)
+    assert(salvaged.nonEmpty)
+    salvaged.foreach { case (k, j) => assert(un(k) == j && j == 1.0) }
+  }
+
   test("cosineNearDupBanded: exact values, superset of full-sig blocking") {
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
     val qv = vecs.collect().map(r => r.getLong(0) ->
