@@ -165,33 +165,28 @@ object Ann {
 
   /** Banded candidate PAIRS (the blocking half of cosineNearDupBanded,
     * exposed for the streaming parity contract): distinct (id_a, id_b)
-    * sharing >= 1 band bucket, a < b. `corpus` must carry (id, v). */
+    * sharing >= 1 band bucket, a < b. `corpus` must carry (id, v).
+    * The bucket join (and the cap / three-tier salvage policy) is
+    * text.Dedup.candidates — one implementation for every band family
+    * (minhash, simhash, hyperplane). */
   def bandedCandidates(corpus: DataFrame, dim: Int, numPlanes: Int,
                        rowsPerBand: Int,
-                       maxBucket: Option[Int] = None): DataFrame = {
+                       maxBucket: Option[Int] = None,
+                       salvageFactor: Option[Int] = None): DataFrame = {
     val c = corpus.withColumn("sig", lshSignature(col("v"), dim, numPlanes))
-    val banded0 = c.select(col("id"),
+    val banded = c.select(col("id"),
         explode(lshBandStructs(col("sig"), numPlanes, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.k0").as("k0"))
-    val banded = maxBucket
-      .map(cap => graft.text.Dedup.capBuckets(banded0, cap))
-      .getOrElse(banded0)
-    val a = banded.alias("a"); val b = banded.alias("b")
-    // distinct on the id PAIR only (a pair sharing several bands must
-    // not shuffle any payload once per band); verifies join by id
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.k0") === col("b.k0") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    graft.text.Dedup.candidates(banded, maxBucket, salvageFactor)
   }
 
   def cosineNearDupBanded(corpus: DataFrame, dim: Int, threshold: Double,
                           numPlanes: Int, rowsPerBand: Int,
-                          maxBucket: Option[Int] = None): DataFrame = {
+                          maxBucket: Option[Int] = None,
+                          salvageFactor: Option[Int] = None): DataFrame = {
     val c = corpus.withColumn("n2", dotQ(col("v"), col("v")))
     val pairs = bandedCandidates(corpus, dim, numPlanes, rowsPerBand,
-      maxBucket)
+      maxBucket, salvageFactor)
     val side = c.select(col("id"), col("v"), col("n2"))
     pairs
       .join(side.select(col("id").as("id_a"), col("v").as("va"),

@@ -406,6 +406,26 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(recall >= full16.size.toDouble / exact.size)
   }
 
+  test("embedding banded cap: salvage tier recovers pairs, exactly") {
+    // three identical vectors share every band bucket (n = 3): drop at
+    // cap 2 loses all pairs; the shared three-tier policy (the same
+    // Dedup.candidates path as minhash/simhash) salvages >= 1 by
+    // pigeonhole, verified at the exact cosine
+    val v = Array.fill(16)(0.5f)
+    val w = Array.fill(16)(-0.5f)
+    val trip = Seq((1L, v), (2L, v), (3L, v), (4L, w)).toDF("id", "emb")
+      .select($"id", Ann.quantize($"emb").as("v"))
+    def pairs(mb: Option[Int], sf: Option[Int]) =
+      Ann.cosineNearDupBanded(trip, 16, 0.5, 8, 4, mb, sf).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val un = pairs(None, None)
+    assert(un.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(Some(2), None).isEmpty)
+    val salvaged = pairs(Some(2), Some(8))
+    assert(salvaged.nonEmpty)
+    salvaged.foreach { case (k, cos) => assert(un(k) == cos && cos == 1.0) }
+  }
+
   test("trainCodebook: deterministic, recall >= LCG codebook on fixture") {
     val c = vecs.select($"id", Ann.quantize($"emb").as("v"))
     val q = vecs.filter($"id" < 10)
