@@ -544,6 +544,10 @@ object OracleQueries {
                             corpusFilter: Option[String],
                             maxBucket: Option[Int] = None,
                             salvageFactor: Option[Int] = None): String = {
+    // same contract as Dedup.applyBucketPolicy — a salvage tier without
+    // a cap would emit SQL referencing a ksub column that doesn't exist
+    require(salvageFactor.isEmpty || maxBucket.isDefined,
+      "salvageFactor requires maxBucket")
     val nSalts = numHashes / 4
     val nBands = numHashes / rowsPerBand
     val src = corpusFilter.map(_ => "corpusf").getOrElse("corpus")

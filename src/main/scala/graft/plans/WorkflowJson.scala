@@ -101,29 +101,48 @@ object WorkflowJson {
     // embedding near-dup removal: quantize -> banded r-of-b hyperplane
     // blocking -> exact-cosine verify -> connected components -> keep
     // one row per cluster (params: id, vec, dim, threshold; optional
-    // numPlanes, rowsPerBand, maxBucket)
+    // numPlanes, rowsPerBand, maxBucket, salvageFactor — the same
+    // three-tier bucket policy knobs as dedup_near)
     "embed_neardup" -> { (p, df) =>
       val id = p.get("id").asText; val vec = p.get("vec").asText
       val planes = if (p.has("numPlanes")) p.get("numPlanes").asInt else 16
       val rows = if (p.has("rowsPerBand")) p.get("rowsPerBand").asInt else 8
       val maxBucket =
         if (p.has("maxBucket")) Some(p.get("maxBucket").asInt) else None
+      val salvage =
+        if (p.has("salvageFactor")) Some(p.get("salvageFactor").asInt)
+        else None
+      require(salvage.isEmpty || maxBucket.isDefined,
+        "embed_neardup: salvageFactor requires maxBucket")
       val corpus = df.select(col(id).as("id"),
         graft.vector.Ann.quantize(col(vec)).as("v"))
       val pairs = graft.vector.Ann.cosineNearDupBanded(corpus,
         p.get("dim").asInt, p.get("threshold").asDouble, planes, rows,
-        maxBucket)
+        maxBucket, salvage)
       graft.text.Dedup.keepClusterKeepers(df, id, pairs)
     },
     // ANN top-k over an embedding column (params: id, vec, dim, k,
     // method brute|lsh|ivf; optional queryMod — queries are the rows
-    // with id % queryMod == 0). Emits (qid, rank, id, cos).
+    // with id % queryMod == 0; optional trainIters > 0 trains the IVF
+    // codebook with distributed Lloyd k-means before searching — T10
+    // in the declarative surface). Emits (qid, rank, id, cos).
+    // CONTRACT EXCEPTION to "one lazy plan": trainIters > 0 runs the
+    // k-means jobs at plan-BUILD time (the codebook is a driver-side
+    // value baked into the search kernel), so compiling a task with a
+    // trained-IVF stage already executes trainIters passes over the
+    // corpus. Train on a sample column/subset for big corpora.
     "ann_topk" -> { (p, df) =>
       val id = p.get("id").asText; val vec = p.get("vec").asText
       val dim = p.get("dim").asInt; val k = p.get("k").asInt
       val qmod = if (p.has("queryMod")) p.get("queryMod").asLong else 50L
       // id % 0 is NULL in non-ANSI Spark -> silently zero queries
       require(qmod > 0, s"ann_topk queryMod must be positive, got $qmod")
+      val trainIters =
+        if (p.has("trainIters")) p.get("trainIters").asInt else 0
+      require(trainIters >= 0,
+        s"ann_topk trainIters must be >= 0, got $trainIters")
+      require(trainIters == 0 || p.get("method").asText == "ivf",
+        "ann_topk trainIters only applies to method 'ivf'")
       val corpus = df.select(col(id).as("id"),
         graft.vector.Ann.quantize(col(vec)).as("v"))
       val queries = corpus.filter(col("id") % qmod === 0)
@@ -131,7 +150,12 @@ object WorkflowJson {
       p.get("method").asText match {
         case "brute" => graft.vector.Ann.cosineTopK(queries, corpus, k)
         case "lsh" => graft.vector.Ann.lshTopK(queries, corpus, dim, k)
-        case "ivf" => graft.vector.Ann.ivfTopK(queries, corpus, dim, k)
+        case "ivf" =>
+          val book = if (trainIters > 0)
+            Some(graft.vector.Ann.trainCodebook(corpus, dim,
+              iters = trainIters))
+          else None
+          graft.vector.Ann.ivfTopK(queries, corpus, dim, k, book)
         case m => throw new IllegalArgumentException(
           s"unknown ann_topk method '$m' (allowed: brute, lsh, ivf)")
       }

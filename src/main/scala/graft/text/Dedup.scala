@@ -165,19 +165,29 @@ object Dedup {
           .as("n_dropped_rows"))
   }
 
-  /** Candidate pairs: ids sharing any band bucket, a < b, distinct.
-    * `maxBucket` caps bucket size first (the 100-TB guard — see
-    * capBuckets; None = exact LSH semantics); `salvageFactor` upgrades
-    * the cap to the three-tier keep/salvage/drop policy
+  /** The SINGLE bucket-policy dispatch shared by every band family
+    * (minhash candidates, simhashPairs, hyperplane bandedCandidates):
+    * None = exact semantics; cap only = keep/drop (capBuckets); cap +
+    * salvageFactor = the three-tier keep/salvage/drop policy
     * (capBucketsSalvage — the sub-bucket id joins as an extra key via
-    * the k-prefix convention). */
-  def candidates(bandDf: DataFrame, maxBucket: Option[Int] = None,
-                 salvageFactor: Option[Int] = None): DataFrame = {
-    val capped = (maxBucket, salvageFactor) match {
+    * the k-prefix convention). salvageFactor without a cap is a
+    * contract error, not a silent no-op. */
+  def applyBucketPolicy(bandDf: DataFrame, maxBucket: Option[Int],
+                        salvageFactor: Option[Int]): DataFrame = {
+    require(salvageFactor.isEmpty || maxBucket.isDefined,
+      "salvageFactor requires maxBucket (the salvage tier refines a cap)")
+    (maxBucket, salvageFactor) match {
       case (Some(cap), Some(f)) => capBucketsSalvage(bandDf, cap, f)
       case (Some(cap), None) => capBuckets(bandDf, cap)
       case (None, _) => bandDf
     }
+  }
+
+  /** Candidate pairs: ids sharing any band bucket, a < b, distinct.
+    * Bucket policy per [[applyBucketPolicy]]. */
+  def candidates(bandDf: DataFrame, maxBucket: Option[Int] = None,
+                 salvageFactor: Option[Int] = None): DataFrame = {
+    val capped = applyBucketPolicy(bandDf, maxBucket, salvageFactor)
     val keyCols = capped.columns.filter(c => c == "band" || c.startsWith("k"))
     val a = capped.alias("a"); val b = capped.alias("b")
     val keyEq = keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
@@ -358,11 +368,7 @@ object Dedup {
     val nib0 = sig.select(col("id"), col("sig"),
         explode(simhashBandStructs(col("sig"), numBands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.k0").as("k0"))
-    val nib = (maxBucket, salvageFactor) match {
-      case (Some(cap), Some(f)) => capBucketsSalvage(nib0, cap, f)
-      case (Some(cap), None) => capBuckets(nib0, cap)
-      case (None, _) => nib0
-    }
+    val nib = applyBucketPolicy(nib0, maxBucket, salvageFactor)
     // join keys are whatever the cap policy left: (band, k0) plus the
     // salvage sub-bucket when present
     val keyCols = nib.columns.filter(c => c == "band" || c.startsWith("k")).toSeq

@@ -125,6 +125,27 @@ class WorkflowJsonSpec extends AnyFunSuite {
     assert(gotTopk == wantTopk && gotTopk.nonEmpty)
   }
 
+  test("ann_topk ivf with trainIters == hand-trained codebook search") {
+    val j =
+      """{"t": {"inp": "embeddings", "operations": {
+        |  "ann_topk": {"id": "vec_id", "vec": "embedding", "dim": 64,
+        |               "k": 3, "method": "ivf", "queryMod": 100,
+        |               "trainIters": 2}}}}""".stripMargin
+    val got = WorkflowJson.run(spark, sfDir, j)("t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val corpus = graft.sources.Pages.table(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.vector.Ann.quantize(col("embedding")).as("v"))
+    val queries = corpus.filter(col("id") % 100 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val book = graft.vector.Ann.trainCodebook(corpus, 64, iters = 2)
+    val want = graft.vector.Ann.ivfTopK(queries, corpus, 64, 3, Some(book))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("unknown operation fails fast with its name") {
     val bad = """{"t": {"inp": "pages", "operations": {"maskkk_raster": {}}}}"""
     val e = intercept[IllegalArgumentException] {
