@@ -63,10 +63,17 @@ object Knn {
 
   /** points: (qid, qlon, qlat); pages: (cell, id, lon, lat).
     * Returns (qid, rank, id, dist2) with rank 1..k. */
+  /** `probeRows`: opt-in instrumentation — accumulates the EXACT
+    * number of exploded (query, cell) probe rows across rounds (one
+    * count job per round when set; never in production runs). Exists
+    * so the probe-amplification cap's benefit is measurable, not
+    * asserted (DedupAnnSpec). */
   def knnJoin(points: DataFrame, pages: DataFrame, res: Int, k: Int,
               initRadius: Int = 4, maxRadius: Int = 16,
               maxDriverQids: Int = MaxDriverQids,
-              maxProbeRows: Long = MaxProbeRows): DataFrame = {
+              maxProbeRows: Long = MaxProbeRows,
+              probeRows: Option[org.apache.spark.util.LongAccumulator] = None)
+             : DataFrame = {
     val cellH = 180.0 / (1L << res).toDouble
     val dist2 = (col("lon") - col("qlon")) * (col("lon") - col("qlon")) +
       (col("lat") - col("qlat")) * (col("lat") - col("qlat"))
@@ -87,6 +94,7 @@ object Knn {
     while (r <= maxRadius && nPending > 0 && !probeTooWide) {
       val probe = pending
         .withColumn("cell", explode(cell_disk(col("qcell"), r)))
+      probeRows.foreach(_.add(probe.count()))
       // small query sets broadcast into the probe; at large counts let
       // the planner (AQE) pick the join strategy for the cell equi-join
       val cands =

@@ -562,6 +562,27 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     // rows already exceed it, so everything goes straight to the exact
     // brute-force pass; results must be identical to the default path
     assert(run(1L) == run(graft.ops.Knn.MaxProbeRows))
+    // measured, not asserted: the cap strictly reduces probe rows on an
+    // adversarial sparse fixture (queries in empty regions force the
+    // full ring ladder without a cap)
+    val farPts = (0L until 4L).map(i => (i, -179.0 + i, -89.0))
+      .toDF("qid", "qlon", "qlat") // far from every page
+    def probeCount(cap: Long): Long = {
+      val acc = spark.sparkContext.longAccumulator(s"knn_probe_$cap")
+      graft.ops.Knn.knnJoin(farPts, pages, 8, 3, maxProbeRows = cap,
+        probeRows = Some(acc)).count()
+      acc.value
+    }
+    val unCapped = probeCount(graft.ops.Knn.MaxProbeRows)
+    val capped = probeCount(500L) // engages after the first round
+    assert(unCapped > capped,
+      s"cap did not reduce probe rows: $unCapped vs $capped")
+    // and the capped run is still exact
+    def res(cap: Long) = graft.ops.Knn.knnJoin(farPts, pages, 8, 3,
+        maxProbeRows = cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(res(500L) == res(graft.ops.Knn.MaxProbeRows))
   }
 
   test("multi-probe lsh: candidate pool is a superset of single-bucket") {
