@@ -115,11 +115,15 @@ object Multimodal {
         val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
         val bits = fmt.getSampleSizeInBits
-        if (!(signed || unsigned) || (bits != 8 && bits != 16)) null
+        // frameSize == AudioSystem.NOT_SPECIFIED (-1) would make the
+        // frame count negative and emit garbage features — undecodable
+        // here, route to the stand-in (ADVICE r4 #3)
+        val frameSize = fmt.getFrameSize
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+            frameSize <= 0) null
         else {
           val ch = fmt.getChannels
           val big = fmt.isBigEndian
-          val frameSize = fmt.getFrameSize
           val data = ais.readAllBytes()
           val frames = data.length / frameSize
           if (frames == 0) null

@@ -280,12 +280,17 @@ object Dedup {
     // pathological corpus with huge LSH buckets falls back to shuffled
     // joins instead of OOMing the driver
     val nCand = cand.count()
+    // BOTH branches gate the candIds broadcast on BroadcastCandLimit —
+    // a caller who raises setVerifyLimit above it must not bypass the
+    // driver-OOM guard the fallback path enforces (ADVICE r4 #1)
+    val candIdsHinted =
+      if (nCand <= BroadcastCandLimit) broadcast(candIds) else candIds
     if (nCand <= setVerifyLimit) {
       // `bytes` rides the same aggregation that builds the sets (raw
       // occurrences — an upper bound on the true set volume); cached so
       // the byte-gating count and both pair joins share one traversal
       // (caller-owned lifetime, the minhashLsh convention)
-      val sets = shAll.join(broadcast(candIds), Seq("id"), "left_semi")
+      val sets = shAll.join(candIdsHinted, Seq("id"), "left_semi")
         .groupBy("id").agg(collect_set(col("shingle")).as("ss"),
           sum(octet_length(col("shingle")).cast("long")).as("bytes"))
         .select(col("id"), col("ss"), size(col("ss")).cast("long").as("n"),
@@ -309,10 +314,12 @@ object Dedup {
         .withColumn("jaccard",
           col("common").cast("double") /
             (col("n_a") + col("n_b") - col("common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
+        // common > 0: the pair-join path's inner join on shared shingles
+        // never sees zero-overlap candidates, so without this filter the
+        // two count-selected paths would diverge at threshold <= 0
+        // (ADVICE r4 #2 — identical row sets on both paths, any threshold)
+        .filter(col("common") > 0 && col("jaccard") >= threshold)
     } else {
-      val candIdsHinted =
-        if (nCand <= BroadcastCandLimit) broadcast(candIds) else candIds
       val sh = shAll.join(candIdsHinted, Seq("id"), "left_semi")
         .distinct().cache()
       // normalized column order: identical schema on both verify paths
@@ -474,6 +481,11 @@ object Dedup {
     // release), so only the final round's files — one row per distinct
     // doc id — remain; the caller owns the directory's lifetime for
     // those.
+    // save/restore the session's prior checkpoint dir (ADVICE r4 #4:
+    // leaving it mutated is a surprising global side effect for the
+    // rest of the session). A session that had NO dir set cannot be
+    // restored to none (no public unset API) — documented side effect.
+    val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
@@ -500,6 +512,10 @@ object Dedup {
       .select(col("src").as("id"),
         least(col("src"), col("nmin")).as("label")))
     var converged = false
+    // the relation pinned this round but not yet promoted to `lab` —
+    // a failure between pin(next) and `lab = next` must release BOTH
+    // (ADVICE r4 #4: the finally block used to leak next's files)
+    var inFlight: DataFrame = null
     // try/finally: a failed round (or the convergence require) must
     // still release the cached edge relation and the last round's
     // checkpoint blocks — without it a long-lived session leaks both
@@ -516,6 +532,7 @@ object Dedup {
         val next = pin(lab.select("id", "label")
           .union(viaNeighbor).union(hop)
           .groupBy("id").agg(min("label").as("label")))
+        inFlight = next
         val changed = next
           .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
           .filter(col("label") =!= col("old_label")).count()
@@ -526,6 +543,7 @@ object Dedup {
         // long-lived caller)
         graft.util.Checkpoints.release(lab)
         lab = next
+        inFlight = null
         converged = changed == 0
         round += 1
       }
@@ -533,7 +551,10 @@ object Dedup {
       lab.select(col("id"), col("label").as("keeper"))
     } finally {
       e.unpersist()
+      if (inFlight != null && (inFlight ne lab))
+        graft.util.Checkpoints.release(inFlight)
       if (!converged) graft.util.Checkpoints.release(lab)
+      if (checkpointDir.isDefined) prevCheckpointDir.foreach(sc.setCheckpointDir)
     }
   }
 
