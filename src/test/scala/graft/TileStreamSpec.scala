@@ -236,6 +236,111 @@ class TileStreamSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("streaming minhash VERIFIED pairs == batch minhashLsh values") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near 1
+      (4L, "one two three four five six seven eight nine"),
+      (5L, "alpha beta gamma delta nine ten eleven twelve")) // partial
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .minhashVerifiedPairs(pages, "doc_id", "text", "warc_ts",
+        threshold = 0.2)
+      .writeStream.format("memory").queryName("mh_verified_stream")
+      .outputMode("append").start()
+    mem.addData((1L, docs(0)._2, t(0)), (4L, docs(3)._2, t(1)))
+    q.processAllAvailable()
+    mem.addData((2L, docs(1)._2, t(2)), (3L, docs(2)._2, t(3)),
+      (5L, docs(4)._2, t(4)))
+    q.processAllAvailable()
+    q.stop()
+    // multi-band duplicates collapse; VALUES (common/n/jaccard) must be
+    // the batch numbers exactly — the verify payload rides the state
+    val got = spark.table("mh_verified_stream")
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val want = graft.text.Dedup.minhashLsh(
+        docs.toDF("doc_id", "text"), "doc_id", "text", threshold = 0.2)
+      .select("id_a", "id_b", "common", "n_a", "n_b", "jaccard")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    spark.catalog.clearCache()
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("streaming embed VERIFIED pairs == batch cosineNearDupBanded") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val vecs = (0L until 24L).map { i =>
+      val rnd = new scala.util.Random(i % 6) // 6 base directions -> dups
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1 + (i / 6).toFloat * 1e-4f),
+        t(i))
+    }
+    val mem = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val stream = mem.toDF().toDF("vec_id", "emb", "ts")
+    val q = graft.streaming.NearDupStream
+      .embedNearDupVerified(stream, "vec_id", "emb", "ts", dim = 16,
+        threshold = 0.8, numPlanes = 8, rowsPerBand = 4)
+      .writeStream.format("memory").queryName("embed_verified_stream")
+      .outputMode("append").start()
+    mem.addData(vecs.take(12): _*)
+    q.processAllAvailable()
+    mem.addData(vecs.drop(12): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("embed_verified_stream")
+      .select("id_a", "id_b", "cos").distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val corpus = vecs.map(v => (v._1, v._2)).toDF("id", "emb")
+      .select(col("id"), graft.vector.Ann.quantize(col("emb")).as("v"))
+    val want = graft.vector.Ann
+      .cosineNearDupBanded(corpus, 16, 0.8, 8, 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // bit-identical cosine: exact Long dot products, same closed form
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("streaming salvage tier == batch sub-bucket salvage on a hot bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    // 8 identical docs: every minhash band bucket holds all 8 ids
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val ids = (1L to 8L)
+    val cap = 2; val nsub = 4 // batch: ceil(8/2) = 4 sub-buckets
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
+    val q = graft.streaming.NearDupStream
+      .minhashCandidates(pages, "doc_id", "text", "warc_ts",
+        subBuckets = nsub)
+      .writeStream.format("memory").queryName("mh_salvage_stream")
+      .outputMode("append").start()
+    mem.addData(ids.map(i => (i, text, t(i))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mh_salvage_stream")
+      .select("id_a", "id_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch three-tier salvage with the same effective sub-bucket count
+    val docs = ids.map(i => (i, text)).toDF("doc_id", "text")
+    val want = graft.text.Dedup.candidates(graft.text.Dedup.bands(
+        graft.text.Dedup.minhash(graft.text.Dedup.docShinglesAll(
+          docs, "doc_id", "text"))),
+        maxBucket = Some(cap), salvageFactor = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty,
+      s"stream=$got batch=$want")
+    // the sub-bucket split really pruned: strictly fewer than all pairs
+    assert(got.size < ids.size * (ids.size - 1) / 2)
+  }
+
   test("streaming bucket cap: overflow drops are counted, not silent") {
     implicit val sqlCtx = spark.sqlContext
     def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
