@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Dedup-family scaling probe (iteration tool, like graft.Scaling for
   * the tile job): runs exact/simhash/minhash dedup over a deterministic
-  * synthetic near-dup corpus at nDocs and 4*nDocs and reports the
-  * wall-time ratio. The 100-TB claim for the dedup family is that every
+  * synthetic near-dup corpus — and the EMBEDDING near-dup family over a
+  * matching synthetic vector corpus — at nDocs and 4*nDocs and reports
+  * the wall-time ratio. The 100-TB claim for the dedup family is that every
   * stage is linear in corpus size (candidate generation by equi-join,
   * capped buckets) — the measured ratio at two sizes on one box is the
   * sandbox-scale evidence (ratio ~4 with fixed scheduling overhead
@@ -52,30 +53,78 @@ object ScalingDedup {
       .toDF("doc_id", "text")
   }
 
+  /** Deterministic embedding corpus with the same fixed-dup-rate
+    * structure as the text corpus (VERDICT r4 next #4: the vector
+    * family needs the same measured linearity evidence as text dedup):
+    * dim-64 float vectors from an LCG; id % 10 == 0 is an EXACT copy of
+    * the unique vector at id-1; id % 10 == 1 is a NEAR-dup of the one
+    * at id-3 (one coordinate nudged by 1% — cosine ~0.9999, same band
+    * buckets with overwhelming probability), so verified-pair volume
+    * grows linearly by construction. */
+  val EmbedDim = 64
+
+  def vec(id: Long): Array[Float] = {
+    val a = new Array[Float](EmbedDim)
+    var x = id + 777L
+    var i = 0
+    while (i < EmbedDim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      a(i) = (((x >>> 33) % 20001L) - 10000L) / 10000.0f
+      i += 1
+    }
+    a
+  }
+
+  def embedVec(id: Long): Array[Float] =
+    if (id >= 10 && id % 10 == 0) vec(id - 1)
+    else if (id >= 10 && id % 10 == 1) {
+      val a = vec(id - 3).clone()
+      a(EmbedDim - 1) = a(EmbedDim - 1) * 1.01f + 0.001f
+      a
+    } else vec(id)
+
+  def embedCorpus(s: SparkSession, n: Long, parts: Int): DataFrame = {
+    import s.implicits._
+    s.range(0, n, 1, parts)
+      .map(id => (id, embedVec(id)))
+      .toDF("id", "emb")
+      .select(col("id"),
+        graft.vector.Ann.quantize(col("emb")).as("v"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val n0 = sys.env.getOrElse("SPARK_GRAFT_DEDUP_DOCS", "50000").toLong
     val spark = Sessions.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     import graft.text.Dedup
-    def run(name: String, n: Long, job: DataFrame => DataFrame): Double = {
-      val c = corpus(spark, n, cpus * 4)
+    case class Job(name: String,
+                   mk: (SparkSession, Long, Int) => DataFrame,
+                   job: DataFrame => DataFrame)
+    def run(j: Job, n: Long): Double = {
+      val c = j.mk(spark, n, cpus * 4)
       val t0 = System.nanoTime()
-      val rows = job(c).count()
+      val rows = j.job(c).count()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(f"DEDUPSCALE $name%-10s n=$n%-8d wall=$wall%7.2fs rows=$rows")
+      println(f"DEDUPSCALE ${j.name}%-10s n=$n%-8d wall=$wall%7.2fs rows=$rows")
       wall
     }
-    val jobs: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "exact" -> (c => Dedup.exact(c, "doc_id", "text")
+    val jobs: Seq[Job] = Seq(
+      Job("exact", corpus, c => Dedup.exact(c, "doc_id", "text")
         .filter(col("n_dups") > 1)),
-      "simhash" -> (c => Dedup.simhashPairs(c, "doc_id", "text",
+      Job("simhash", corpus, c => Dedup.simhashPairs(c, "doc_id", "text",
         maxBucket = Some(64))),
-      "minhash" -> (c => Dedup.minhashLsh(c, "doc_id", "text", 0.4,
+      Job("minhash", corpus, c => Dedup.minhashLsh(c, "doc_id", "text", 0.4,
+        maxBucket = Some(64))),
+      // the vector family: banded hyperplane blocking + exact-cosine
+      // verify over the synthetic embedding corpus (same linearity
+      // contract, measured with the same 4x protocol)
+      Job("embed", embedCorpus, c => graft.vector.Ann.cosineNearDupBanded(
+        c, EmbedDim, 0.9, numPlanes = 16, rowsPerBand = 8,
         maxBucket = Some(64))))
     // warm (JIT + codegen) on the small size, then measure both sizes
-    jobs.foreach { case (name, j) => run(s"warm-$name", n0 / 5, j) }
+    jobs.foreach { j => run(j.copy(name = s"warm-${j.name}"), n0 / 5) }
     // mode=stages: per-stage breakdown of the minhash pipeline at n0
     if (sys.env.get("SPARK_GRAFT_DEDUP_MODE").contains("stages")) {
       val c = corpus(spark, n0, cpus * 4).cache()
@@ -131,16 +180,16 @@ object ScalingDedup {
     // mode=single: one size only (for A/B runs across parallelism
     // levels — set SPARK_GRAFT_CPUS per run and compare the walls)
     if (sys.env.get("SPARK_GRAFT_DEDUP_MODE").contains("single")) {
-      jobs.foreach { case (name, j) =>
-        val best = Seq.fill(2)(run(name, n0, j)).min
-        println(f"DEDUPSCALE $name%-10s cpus=$cpus best=$best%.2fs")
+      jobs.foreach { j =>
+        val best = Seq.fill(2)(run(j, n0)).min
+        println(f"DEDUPSCALE ${j.name}%-10s cpus=$cpus best=$best%.2fs")
       }
     } else {
-      val ratios = jobs.map { case (name, j) =>
-        val t1 = run(name, n0, j)
-        val t4 = run(name, n0 * 4, j)
-        println(f"DEDUPSCALE $name%-10s 4x-ratio=${t4 / t1}%.2f (linear ~4, quadratic ~16)")
-        name -> t4 / t1
+      val ratios = jobs.map { j =>
+        val t1 = run(j, n0)
+        val t4 = run(j, n0 * 4)
+        println(f"DEDUPSCALE ${j.name}%-10s 4x-ratio=${t4 / t1}%.2f (linear ~4, quadratic ~16)")
+        j.name -> t4 / t1
       }
       println("DEDUPSCALE " + ratios.map { case (n, r) => f"$n=$r%.2f" }
         .mkString("summary: ", " ", ""))

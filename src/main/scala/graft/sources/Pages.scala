@@ -35,13 +35,67 @@ object Pages {
   val Epoch: Long = 1704067200L // 2024-01-01T00:00:00Z
 
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    table(spark, dir, "documents")
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    table(spark, dir, "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(schemaOf(spark, path)).parquet(path)
+  }
+
+  /** path -> schema, session-independent (input tables are immutable). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Schema of a parquet input table WITHOUT a Spark job: a schema-less
+    * `spark.read.parquet` runs footer-based inference as a distributed
+    * job, which would break the declarative surface's "task compilation
+    * launches zero Spark jobs" contract (WorkflowJson) — the one
+    * compile-time job the deferred broadcast gate couldn't remove. Here
+    * the driver reads ONE footer directly (file, or first data file of
+    * a directory-style table) and prefers the Spark schema JSON the
+    * writer stored in footer metadata — exactly what Spark's own
+    * single-file inference returns — falling back to the parquet->Spark
+    * type converter, then to a real inference job if footer reading
+    * fails for any reason. `asNullable` matches file-source inference.
+    * Driver footer IO is how Spark itself bounds metadata cost; one
+    * footer per distinct path per JVM, memoized. */
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
+    schemaMemo.computeIfAbsent(path, { p =>
+      try driverFooterSchema(spark, p)
+      catch { case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(p).schema }
+    })
+
+  private def driverFooterSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val conf = cs.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val st = fs.getFileStatus(root)
+    val file =
+      if (!st.isDirectory) root
+      else fs.listStatus(root).iterator
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .minBy(_.getPath.getName).getPath
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val meta = footer.getFileMetaData
+    val stored = Option(
+      meta.getKeyValueMetaData.get("org.apache.spark.sql.parquet.row.metadata"))
+    org.apache.spark.sql.graft.GatePlans.asNullable(
+      stored.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse {
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(cs.sessionState.conf)
+            .convert(meta.getSchema)
+        })
+  }
 
   /** Weighted tld pick from a mod-100 column (mirror Oracle.tldCaseOn). */
   def tldLadderCol(t: Column): Column =

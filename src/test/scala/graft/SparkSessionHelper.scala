@@ -13,6 +13,7 @@ object SparkSessionHelper {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    org.apache.spark.sql.graft.GatePlans.register(s)
     s
   }
 }
