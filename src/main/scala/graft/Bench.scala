@@ -40,7 +40,13 @@ object Bench {
     var spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/documents.parquet").count() // JIT/IO warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // iteration aid (mirrors Verify's SPARK_GRAFT_ONLY): restrict the
+    // sweep to named queries — A/B timing of a suspect query without
+    // paying the full sweep + headline
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val dt = try time(fn(spark, sfDir)) catch { case _: Throwable => -1.0 }
       spark.catalog.clearCache() // release per-query pipeline caches
       name -> dt
