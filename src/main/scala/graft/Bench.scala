@@ -52,6 +52,18 @@ object Bench {
       name -> dt
     }
 
+    // A/B mode stops here: the headline tile job + scaling rounds cost
+    // minutes and say nothing about the named queries under test.
+    if (only.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      spark.stop()
+      println(
+        f"""{"metric":"query sweep (filtered)","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
+    }
+
     // ---- headline: spatial-join + tiling throughput + scaling -------
     // The driver tables are too small (5k docs) to exercise parallelism,
     // so the scaling probe runs the same tiling pipeline (url -> fused

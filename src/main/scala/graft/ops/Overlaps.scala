@@ -167,21 +167,27 @@ object Overlaps {
     // targets. Cache lifetime is the CALLER's session (the minhashLsh
     // convention; Verify/Bench clearCache between queries).
     //
-    // Stable ROW KEY instead of an all-columns null-safe semi-join
-    // (ADVICE r4 #5: a payload column of a type without <=> support —
-    // MapType — failed analysis here while the result-identical theta
-    // path never touches payloads). monotonically_increasing_id is
-    // deterministic per (partition, row order), and both the cover-cell
-    // branch and the semi left side read the same cached rows; the key
-    // never leaves this method.
-    val e = ext.withColumn("__gid", monotonically_increasing_id()).cache()
+    // Join key = the four bbox bounds, nothing else. "Contains >= 1
+    // point" is purely a function of the bbox, so a semi-join on the
+    // bounds is result-identical to the theta path for every row —
+    // including duplicate-bbox rows (all kept or all dropped together)
+    // and null-bound rows (equality never matches, exactly as the theta
+    // predicate evaluates to null). Payload columns never enter the
+    // join (ADVICE r4 #5: MapType payloads failed the old all-columns
+    // <=> join), and unlike a generated row id the key is DETERMINISTIC
+    // under partition recomputation — an executor loss can't make the
+    // two branches disagree about which row is which. distinct() before
+    // the explode also collapses duplicate bboxes to one cover-cell
+    // expansion each.
+    val e = ext.cache()
+    val bounds = Seq("lon_min", "lat_min", "lon_max", "lat_max")
     val pts = points.select(col("lon").as("p_lon"), col("lat").as("p_lat"))
       .withColumn("cell", cell_of(col("p_lon"), col("p_lat"), res))
-    val hit = coverCells(e, res, maxCells)
+    val hit = coverCells(e.select(bounds.map(col): _*).distinct(), res, maxCells)
       .join(pts, Seq("cell"))
       .filter(col("p_lon") >= col("lon_min") && col("p_lon") <= col("lon_max") &&
         col("p_lat") >= col("lat_min") && col("p_lat") <= col("lat_max"))
-      .select("__gid")
-    e.join(hit, Seq("__gid"), "left_semi").drop("__gid")
+      .select(bounds.map(col): _*)
+    e.join(hit, bounds, "left_semi")
   }
 }

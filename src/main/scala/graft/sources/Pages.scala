@@ -45,7 +45,12 @@ object Pages {
     spark.read.schema(schemaOf(spark, path)).parquet(path)
   }
 
-  /** path -> schema, session-independent (input tables are immutable). */
+  /** (path, root mtime, root length) -> schema, session-independent.
+    * The mtime/length in the key is the staleness guard: a table
+    * REWRITTEN at the same path in one long-lived JVM (a workflow whose
+    * `out` a later run reads back via `inp`) gets a fresh footer read
+    * instead of the old schema; immutable inputs still hit the memo on
+    * every call after the first. */
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
@@ -62,12 +67,19 @@ object Pages {
     * fails for any reason. `asNullable` matches file-source inference.
     * Driver footer IO is how Spark itself bounds metadata cost; one
     * footer per distinct path per JVM, memoized. */
-  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType =
-    schemaMemo.computeIfAbsent(path, { p =>
-      try driverFooterSchema(spark, p)
+  def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val key = try {
+      val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val root = new org.apache.hadoop.fs.Path(path)
+      val st = root.getFileSystem(cs.sessionState.newHadoopConf()).getFileStatus(root)
+      s"$path@${st.getModificationTime}:${st.getLen}"
+    } catch { case scala.util.control.NonFatal(_) => path }
+    schemaMemo.computeIfAbsent(key, { _ =>
+      try driverFooterSchema(spark, path)
       catch { case scala.util.control.NonFatal(_) =>
-        spark.read.parquet(p).schema }
+        spark.read.parquet(path).schema }
     })
+  }
 
   private def driverFooterSchema(
       spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {

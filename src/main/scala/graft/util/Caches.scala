@@ -15,9 +15,14 @@ import org.apache.spark.sql.SparkSession
 object Caches {
 
   /** Drop every cached Dataset AND every directly-persisted RDD in the
-    * session. Dataset.cache registers with the shared CacheManager
-    * (cleared by catalog.clearCache); direct RDD persists (spark.ml
-    * internals, mapPartitions escapes) live outside it. */
+    * whole SparkContext — NOT just this session: both CacheManager and
+    * getPersistentRDDs are context-wide, so in a multi-session JVM
+    * (newSession per tenant) this clobbers sibling sessions' caches
+    * too. Use only where the process owns all sessions (Verify/Bench/
+    * batch drivers — the intended callers). Dataset.cache registers
+    * with the shared CacheManager (cleared by catalog.clearCache);
+    * direct RDD persists (spark.ml internals, mapPartitions escapes)
+    * live outside it. */
   def uncacheAll(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values

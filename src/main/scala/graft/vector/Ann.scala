@@ -242,10 +242,23 @@ object Ann {
   def ivfCells(v: Column, dim: Int): Column =
     graft.functions.ivf_cells(v, dim)
 
+  /** Hard ceiling on codebook size: [[ivfCells]] packs the two nearest
+    * cell ids as `cid1 << 8 | cid2`, so a 257th centroid would overflow
+    * cid2 into cid1's bits and silently corrupt every cell assignment.
+    * Enforced at every codebook entry point (build, train, load). */
+  val MaxCentroids = 256
+
+  private def requireCentroids(n: Int, what: String): Unit =
+    require(n >= 2 && n <= MaxCentroids,
+      s"$what: numCentroids $n outside [2, $MaxCentroids] — the packed " +
+        "cell encoding (cid1 << 8 | cid2) holds at most 256 centroids")
+
   /** The fixed LCG codebook as an explicit matrix (the untrained
     * default; also the k-means init). */
-  def lcgCodebook(dim: Int, numCentroids: Int = NumCentroids): Seq[Seq[Long]] =
+  def lcgCodebook(dim: Int, numCentroids: Int = NumCentroids): Seq[Seq[Long]] = {
+    requireCentroids(numCentroids, "lcgCodebook")
     (0 until numCentroids).map(c => centroidArray(c, dim))
+  }
 
   /** IVF codebook TRAINING (the offline half of real IVF systems —
     * round-2 verdict gap): Lloyd's k-means over the quantized corpus,
@@ -325,6 +338,7 @@ object Ann {
     val book = root.get("book").elements.asScala
       .map(r => r.elements.asScala.map(_.asLong).toSeq).toSeq
     require(book.nonEmpty, s"codebook sidecar $path has an empty book")
+    requireCentroids(book.size, s"codebook sidecar $path")
     expectDim.foreach { d =>
       require(book.head.size == d,
         s"codebook sidecar $path has dim ${book.head.size}, expected $d")
@@ -342,6 +356,7 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, dim: Int,
               k: Int, codebook: Option[Seq[Seq[Long]]] = None,
               broadcastLimit: Long = BroadcastQueryLimit): DataFrame = {
+    codebook.foreach(b => requireCentroids(b.size, "ivfTopK codebook"))
     def packed(v: Column): Column = codebook
       .map(b => graft.functions.ivf_cells_of(v, b))
       .getOrElse(ivfCells(v, dim))

@@ -101,8 +101,19 @@ object GatePlans {
           ResolveBroadcastGate(s.asInstanceOf[classic.SparkSession])
   }
 
+  /** True when the session resolves [[BroadcastGate]] markers at action
+    * time. Two routes: the runtime-attached `extraOptimizations` copy,
+    * OR a session built with `spark.sql.extensions=graft.GraftExtensions`
+    * — the latter's preCBO rule is constructed lazily with the optimizer
+    * (first action), AFTER plan-assembly probes this method, so the conf
+    * is the only compile-time-visible signal. Sound because the preCBO
+    * rule is guaranteed to exist before the first optimization consumes
+    * the marker, and an unconsumed marker fails physical planning
+    * loudly rather than mis-executing. */
   def registered(s: SparkSession): Boolean =
-    s.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveBroadcastGate])
+    s.experimental.extraOptimizations.exists(_.isInstanceOf[ResolveBroadcastGate]) ||
+      s.conf.getOption(org.apache.spark.sql.internal.StaticSQLConf.SPARK_SESSION_EXTENSIONS.key)
+        .exists(_.contains("graft.GraftExtensions"))
 
   /** Deep-nullable view of a schema (`StructType.asNullable` is
     * `private[spark]`): file-source inference reports every column

@@ -104,6 +104,36 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(spk.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("overlapsAnyPointByCells: duplicate-bbox rows all kept together " +
+      "(deterministic bounds key, no generated row ids)") {
+    // two rows share one qualifying bbox, two share a non-qualifying
+    // one — the bounds-key semi-join must keep/drop them as groups,
+    // and the key survives partition recomputation by construction
+    val ext = Seq(
+      ("a1", 0.0, 0.0, 10.0, 10.0), ("a2", 0.0, 0.0, 10.0, 10.0),
+      ("b1", 20.0, 20.0, 30.0, 30.0), ("b2", 20.0, 20.0, 30.0, 30.0))
+      .toDF("src", "lon_min", "lat_min", "lon_max", "lat_max")
+    val pts = Seq((5.0, 5.0)).toDF("lon", "lat")
+    val kept = Overlaps.overlapsAnyPointByCells(ext, pts, 6)
+      .select("src").as[String].collect().sorted.toSeq
+    assert(kept == Seq("a1", "a2"))
+  }
+
+  test("codebook entry points reject > 256 centroids (8-bit packed " +
+      "cell ids)") {
+    import graft.vector.Ann
+    intercept[IllegalArgumentException](Ann.lcgCodebook(4, 300))
+    val big = (0 until 257).map(_ => Seq(1L, 2L, 3L, 4L))
+    val dir = java.nio.file.Files.createTempDirectory("book").toString
+    val p = s"$dir/book.json"
+    Ann.saveCodebook(p, big)
+    intercept[IllegalArgumentException](Ann.loadCodebook(p))
+    intercept[IllegalArgumentException] {
+      Ann.ivfTopK(spark.range(1).toDF(), spark.range(1).toDF(), 4, 1,
+        codebook = Some(big))
+    }
+  }
+
   test("decodeAudioReal: unspecified/zero frame size routes to the " +
       "stand-in, no garbage features") {
     import graft.media.Multimodal
