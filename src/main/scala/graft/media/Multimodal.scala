@@ -190,9 +190,13 @@ object Multimodal {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = java.util.HexFormat.of()
       it.map { r =>
         md.reset()
-        val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+        // HexFormat, not per-byte "%02x".format: format-string parsing
+        // and byte boxing per digest byte is measurable in a hot loop
+        // over billions of media rows
+        val digest = hex.formatHex(md.digest(r.payload))
         MediaFeatures(r.doc_id, r.payload.length, digest, decode(r.payload))
       }
     }

@@ -66,9 +66,23 @@ object TileStore {
   def scanCover(spark: SparkSession, path: String, cover: Array[Long],
                 res: Int, prefixShift: Int = DefaultPrefixShift): DataFrame = {
     val flat = CellIndex.coverRanges(cover, res)
-    val prefixPred = flat.grouped(2).map { case Array(lo, hi) =>
-      col("cell_prefix").between(lo >>> prefixShift, hi >>> prefixShift)
-    }.reduce(_ || _)
+    // an empty cover (degenerate clip geometry) scans nothing — not a
+    // reduce-on-empty crash
+    if (flat.isEmpty) return read(spark, path).filter(lit(false))
+    // adjacent cell ranges usually share a prefix: merge the shifted
+    // (lo, hi) pairs before building the partition predicate, or a
+    // fragmented cover makes an O(ranges)-term disjunction where a
+    // handful of prefix intervals suffice
+    val prefixRanges = flat.grouped(2)
+      .map { case Array(lo, hi) => (lo >>> prefixShift, hi >>> prefixShift) }
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((plo, phi) :: rest, (lo, hi)) if lo <= phi + 1 =>
+          (plo, math.max(phi, hi)) :: rest // ranges arrive lo-sorted
+        case (acc, r) => r :: acc
+      }.reverse
+    val prefixPred = prefixRanges
+      .map { case (lo, hi) => col("cell_prefix").between(lo, hi) }
+      .reduce(_ || _)
     val cellPred =
       if (flat.length / 2 <= MaxStoredDisjuncts)
         flat.grouped(2).map { case Array(lo, hi) => col("cell").between(lo, hi) }
@@ -80,7 +94,13 @@ object TileStore {
   // ---- snapshot surface (Iceberg-style versioned commits, §7.5) ----------
   //
   // Layout:   <store>/data/snap=<id>/...        cell-partitioned parquet
-  //           <store>/_graft_manifest/          lineage rows (Lineage)
+  //           <store>/data/snap=<id>/_manifest  that snapshot's lineage
+  //                                             rows (read via lineage();
+  //                                             kept INSIDE the snap dir
+  //                                             so a retried commit's
+  //                                             overwrite wipes orphans —
+  //                                             NOT the Lineage
+  //                                             _graft_manifest layout)
   //           <store>/_snapshots/<id>           commit markers
   //
   // The MARKER is the commit point (the analog of Iceberg's atomic
@@ -155,7 +175,10 @@ object TileStore {
     withIn
       .select(lit(jobId).as("job_id"), lit(snapshotId).as("snapshot_id"),
         col("cell"), col("rows_in"), col("rows_out"),
-        lit(0L).as("completed_at"))
+        // stamped when the lineage rows land (pre-marker; the marker's
+        // mtime is the commit point) — same meaning as
+        // Lineage.recordCompleted, not a 0L placeholder
+        lit(System.currentTimeMillis()).as("completed_at"))
       // underscore prefix: data scans of the snap dir skip it (hidden
       // path convention), only lineage() reads it explicitly
       .write.mode("overwrite").parquet(s"${dataDir(store, snapshotId)}/_manifest")

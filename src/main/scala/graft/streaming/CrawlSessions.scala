@@ -23,6 +23,7 @@ object CrawlSessions {
 
   case class PageEvent(host: String, ts: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)
+  case class HostSessions(intervals: List[SessionState])
   case class SessionOut(host: String, session_start: java.sql.Timestamp,
                         session_end: java.sql.Timestamp, n_events: Long)
 
@@ -30,58 +31,69 @@ object CrawlSessions {
    * Gap-based sessionization per host: a session is a maximal run of
    * events with inter-arrival <= `gapMs` (an arrival at exactly the gap
    * still joins the session — the streaming merge and the batch twin
-   * both split strictly-greater-than). Sessions closed by an
-   * in-batch gap emit immediately; the trailing (still-open) session
-   * emits when the event-time watermark passes `last + gapMs`
-   * (GroupStateTimeout.EventTimeTimeout) — state per host is ONE
-   * (start, last, n) interval, so memory is O(active hosts), not
-   * O(events): the 100 TB shape for clickstream/crawl sessionization.
+   * both split strictly-greater-than). A session emits only once the
+   * event-time WATERMARK makes it final — `session_end + gapMs <
+   * watermark` — not merely when an in-batch gap follows it: any event
+   * the watermark still admits has `ts >= watermark > end + gapMs` and
+   * so can never extend an emitted session. (Emitting in-batch-closed
+   * sessions eagerly looks equivalent but is not: a within-watermark
+   * out-of-order event can BRIDGE two in-batch runs that a same-batch
+   * gap had already separated.) Due sessions emit on the microbatch
+   * that advances the watermark past them, or on the event-time
+   * timeout for quiet hosts.
    *
-   * Late (out-of-order, within-watermark) events are handled by an
-   * interval sweep: the state interval and the batch's events merge
-   * wherever they are within `gapMs` of each other — a late event
-   * in-gap-of the open session EXTENDS it (including lowering its
-   * start), one further in the past forms its own earlier session.
-   * The one inherent approximation of append-mode streaming: an event
-   * older than a session that was ALREADY emitted cannot retract it
-   * and starts a fresh session instead.
+   * State per host is the list of not-yet-final (start, last, n)
+   * intervals — bounded by the watermark horizon: every held interval
+   * has `last + gapMs >= watermark`, so at most ~horizon/gap + 1
+   * intervals per host, not O(events). Late (out-of-order,
+   * within-watermark) events merge into held intervals wherever they
+   * are within `gapMs` — extending a session backward, bridging two, or
+   * forming their own. The one inherent approximation of append-mode
+   * streaming remains: an event older than the watermark (which Spark
+   * drops before the operator) cannot retract an already-final session.
    */
   def sessionize(events: Dataset[PageEvent], gapMs: Long,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
 
     def update(host: String, it: Iterator[PageEvent],
-               state: GroupState[SessionState]): Iterator[SessionOut] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        Iterator(SessionOut(host, new java.sql.Timestamp(s.start),
-          new java.sql.Timestamp(s.last), s.n))
-      } else {
-        // sweep: state interval + point events, ordered by start; merge
-        // neighbors within gapMs; everything but the final interval is
-        // closed (followed by a gap) and emits now
-        val intervals = (state.getOption.map(s => (s.start, s.last, s.n)).toList
-            ++ it.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
-          .sortBy(iv => (iv._1, iv._2))
-        var out = List.empty[SessionOut]
-        var cur = intervals.head
-        intervals.tail.foreach { iv =>
-          if (iv._1 - cur._2 <= gapMs)
-            cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
-          else {
-            out ::= SessionOut(host, new java.sql.Timestamp(cur._1),
-              new java.sql.Timestamp(cur._2), cur._3)
-            cur = iv
-          }
-        }
-        state.update(SessionState(cur._1, cur._2, cur._3))
-        // a timeout at-or-before the current watermark is rejected by
-        // Spark — clamp so a session whose gap already elapsed fires on
-        // the next microbatch instead of crashing the query
+               state: GroupState[HostSessions]): Iterator[SessionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      // sweep: held intervals + point events, ordered by start; merge
+      // neighbors within gapMs (timeout invocations arrive with an
+      // empty iterator and reduce to a pure emit-the-due pass)
+      val intervals = (state.getOption.map(_.intervals).getOrElse(Nil)
+          .map(s => (s.start, s.last, s.n))
+          ++ it.map(e => (e.ts.getTime, e.ts.getTime, 1L)))
+        .sortBy(iv => (iv._1, iv._2))
+      if (intervals.isEmpty) { // timed-out empty state (defensive)
+        if (state.exists) state.remove()
+        return Iterator.empty
+      }
+      var merged = List.empty[(Long, Long, Long)]
+      var cur = intervals.head
+      intervals.tail.foreach { iv =>
+        if (iv._1 - cur._2 <= gapMs)
+          cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
+        else { merged ::= cur; cur = iv }
+      }
+      merged ::= cur
+      // final = the watermark can no longer extend it (strict: an event
+      // at exactly ts == wm == last + gap would still join)
+      val (closed, open) = merged.reverse.partition(_._2 + gapMs < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(HostSessions(
+          open.map { case (s, l, n) => SessionState(s, l, n) }))
+        // wake when the OLDEST held interval becomes final; a timeout
+        // at-or-before the current watermark is rejected by Spark —
+        // clamp so it fires on the next microbatch instead of crashing
         state.setTimeoutTimestamp(
-          math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
-        out.reverse.iterator
+          math.max(open.map(_._2).min + gapMs, wm + 1))
+      }
+      closed.iterator.map { case (s, l, n) =>
+        SessionOut(host, new java.sql.Timestamp(s),
+          new java.sql.Timestamp(l), n)
       }
     }
 
@@ -106,8 +118,7 @@ object CrawlSessions {
   def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
                       idCol: String, gapUs: Long): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy("ts_us", idCol)
-    val run = Window.partitionBy(keyCol).orderBy("ts_us", idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       // NTZ parquet timestamps cast through LTZ under the engine's UTC
       // session zone — epoch micros then equals DuckDB's epoch_us on
@@ -127,11 +138,16 @@ object CrawlSessions {
   /** Streaming exact dedup of crawl pages: state keyed by content
     * fingerprint, evicted once the watermark passes (bounded state —
     * the streaming member of the dedup family). First occurrence wins;
-    * a duplicate arriving within the watermark window is dropped. */
-  def dedupPages(pages: DataFrame, textCol: String,
+    * a duplicate arriving within the watermark window is dropped.
+    * NULL-text pages (extraction failures) are NOT duplicates of each
+    * other — md5(NULL) is NULL and dropDuplicates groups NULL keys, so
+    * they key by `idCol` instead (the \u0000 prefix cannot collide
+    * with an md5 hex digest). */
+  def dedupPages(pages: DataFrame, idCol: String, textCol: String,
                  watermark: String = "1 hour"): DataFrame =
     pages
-      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .withColumn("fp", coalesce(md5(col(textCol).cast("binary")),
+        concat(lit("\u0000"), col(idCol).cast("string"))))
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 }

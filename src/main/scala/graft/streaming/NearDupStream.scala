@@ -117,8 +117,12 @@ object NearDupStream {
         events.foreach { e =>
           val eMs = e.ts.getTime
           val ev = Entry(e.doc_id, e.sig, e.toks, eMs)
+          // at-least-once upstream: a redelivered doc REPLACES its old
+          // entry (same pairs would re-emit against a duplicate entry,
+          // and the duplicate would waste a cap slot)
+          entries = entries.filterNot(_.id == e.doc_id)
           entries.foreach { o =>
-            if (o.id != e.doc_id && math.abs(eMs - o.tsMs) <= horizonMs) {
+            if (math.abs(eMs - o.tsMs) <= horizonMs) {
               val (lo, hi) = if (o.id < ev.id) (o, ev) else (ev, o)
               val ts = new java.sql.Timestamp(math.max(eMs, o.tsMs))
               make(lo, hi, e.band, ts).foreach(out += _)
@@ -219,15 +223,21 @@ object NearDupStream {
     val nSalts = numHashes / 4
     val nBands = numHashes / rowsPerBand
     val sh = graft.text.TextOps.shingles(col(textCol), k)
-    // one md5 per (shingle, salt) — the same digest economics as batch
-    // minhash (4 independent 32-bit words per digest)
-    def salted(s: Int): Column = transform(sh, x =>
+    // one md5 per (DISTINCT shingle, salt) — the same digest economics
+    // as batch minhash, which hashes distinct (id, shingle) pairs
+    // (4 independent 32-bit words per digest); hashing occurrences
+    // would pay the duplication factor of boilerplate text for the
+    // same array_min (min is duplicate-invariant). Two-step select so
+    // array_distinct is computed once, not once per salt column.
+    def salted(s: Int): Column = transform(col("toks"), x =>
       graft.functions.md5_words(
         if (s == 0) x else concat(x, lit(s"#$s"))))
-    val withWords = pages.select(
-      (col(idCol).as("doc_id") +: col(tsCol).as("ts") +:
-        array_distinct(sh).as("toks") +:
-        (0 until nSalts).map(s => salted(s).as(s"w$s"))): _*)
+    val withWords = pages
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        array_distinct(sh).as("toks"))
+      .select(
+        (col("doc_id") +: col("ts") +: col("toks") +:
+          (0 until nSalts).map(s => salted(s).as(s"w$s"))): _*)
     val mins = withWords.select(
       (col("doc_id") +: col("ts") +: col("toks") +:
         (0 until numHashes).map(i => array_min(transform(col(s"w${i / 4}"),
@@ -328,11 +338,15 @@ object NearDupStream {
                           rowsPerBand: Int, horizon: java.time.Duration,
                           subBuckets: Int, keepVec: Boolean): DataFrame = {
     import graft.vector.Ann
-    val q = Ann.quantize(col(vecCol))
+    // quantize ONCE in its own projection — inlining the quantize
+    // expression into each of the numPlanes hyperplane dot products
+    // would re-evaluate it per plane if codegen subexpression
+    // elimination is unavailable (the batch cosineNearDup shape)
     withSubBuckets(
       vecs.select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-          q.as("v"),
-          Ann.lshSignature(q, dim, numPlanes).as("hsig"))
+          Ann.quantize(col(vecCol)).as("v"))
+        .select(col("doc_id"), col("ts"), col("v"),
+          Ann.lshSignature(col("v"), dim, numPlanes).as("hsig"))
         .withWatermark("ts", s"${horizon.toSeconds} seconds")
         .select(col("doc_id"), col("ts"), col("v"),
           explode(Ann.lshBandStructs(col("hsig"), numPlanes, rowsPerBand))

@@ -57,6 +57,8 @@ class TileStoreSpec extends AnyFunSuite {
       s"cell range predicates did not reach the parquet scan:\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("cell_prefix"),
       "partition pruning on cell_prefix missing")
+    // degenerate geometry: an empty cover scans NOTHING (no crash)
+    assert(TileStore.scanCover(spark, path, Array.empty[Long], 12).count() == 0L)
   }
 
   test("snapshot commit: ids advance, time travel reads, lineage lands") {

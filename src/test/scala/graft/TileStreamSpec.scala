@@ -12,7 +12,7 @@ class TileStreamSpec extends AnyFunSuite {
 
   private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
 
-  test("stateful sessionization: in-batch gaps close eagerly, tails on timeout") {
+  test("stateful sessionization: sessions emit once watermark-final, tails on timeout") {
     import CrawlSessions._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
@@ -33,10 +33,39 @@ class TileStreamSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getTimestamp(1).getTime,
         r.getTimestamp(2).getTime, r.getLong(3))).toSet
     val want = Set(
-      ("a", T0, T0 + 60000L, 2L),                       // closed by in-batch gap
+      ("a", T0, T0 + 60000L, 2L),                       // watermark-final
       ("a", T0 + 30 * 60000L, T0 + 30 * 60000L, 1L),    // closed by timeout
       ("b", T0 + 2 * 60000L, T0 + 2 * 60000L, 1L))      // closed by timeout
     assert(got == want) // z's session is still open -> not emitted
+  }
+
+  test("sessionize: a within-watermark event BRIDGES two in-batch runs " +
+      "(no premature emission of in-batch-closed sessions)") {
+    import CrawlSessions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val q = CrawlSessions.sessionize(
+        mem.toDF().toDF("host", "ts").as[PageEvent],
+        gapMs = 10 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    // batch 1: a 15-minute in-batch gap splits [0,0] from [15,15] —
+    // but [0,0] is NOT final (watermark is only t(5) after this batch)
+    mem.addData(("a", t(0)), ("a", t(15)))
+    q.processAllAvailable()
+    // batch 2: t(8) is within-watermark (>= t(5)) and within gap of
+    // BOTH runs — the three events are ONE session [0,15]
+    mem.addData(("a", t(8)))
+    q.processAllAvailable()
+    mem.addData(("zz", t(600))) // advance watermark, close tails
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_bridge").filter(col("host") === "a")
+      .collect()
+      .map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
+        r.getLong(3))).toSet
+    assert(got == Set((T0, T0 + 15 * 60000L, 3L)))
   }
 
   test("sessionize: late within-watermark events merge or form earlier sessions") {
@@ -103,18 +132,21 @@ class TileStreamSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
     val pages = mem.toDF().toDF("doc_id", "text", "warc_ts")
-    val q = CrawlSessions.dedupPages(pages, "text")
+    val q = CrawlSessions.dedupPages(pages, "doc_id", "text")
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     def t(min: Long) = new java.sql.Timestamp(T0 + min * 60000L)
     mem.addData((1L, "alpha", t(0)), (2L, "beta", t(1)))
     q.processAllAvailable()
-    mem.addData((3L, "alpha", t(2)), (4L, "gamma", t(3))) // 3 is a dup of 1
+    // 3 is a dup of 1; 5 and 6 have NULL text (extraction failures) —
+    // NOT duplicates of each other, both must pass through
+    mem.addData((3L, "alpha", t(2)), (4L, "gamma", t(3)),
+      (5L, null, t(4)), (6L, null, t(5)))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("dedup_stream").select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    assert(got == Set(1L, 2L, 4L))
+    assert(got == Set(1L, 2L, 4L, 5L, 6L))
   }
 
   test("streaming near-dup == batch simhash pairs within the horizon") {
