@@ -154,6 +154,9 @@ object Knn {
         }
       results = if (results == null) brute else results.unionByName(brute)
     }
-    results
+    // an empty points input never assigns results (no rounds, no
+    // residue): return an EMPTY frame of the output schema, not null
+    if (results == null) topkOf(pages.crossJoin(broadcast(pending.drop("qcell"))))
+    else results
   }
 }

@@ -34,6 +34,15 @@ object WorkflowJson {
 
   val Attrs = Set("inp", "out", "operations", "train_codebook")
 
+  /** Required-attribute access: a missing attribute names itself (and,
+    * via the compileTask wrap, its operation) instead of a contextless
+    * NullPointerException — the documented fail-fast contract. */
+  private def req(p: JsonNode, name: String): JsonNode = {
+    val n = p.get(name)
+    require(n != null, s"missing required attribute '$name'")
+    n
+  }
+
   /** op name -> (params, df) => df. The whitelist (TASKS analog). */
   val Ops: Map[String, (JsonNode, DataFrame) => DataFrame] = Map(
     // F16/F15: geotag + cell encode at params.res (lon/lat kept so
@@ -41,28 +50,28 @@ object WorkflowJson {
     "geotag" -> ((p, df) => df
       .withColumn("lon", geotag_lon(col("url")))
       .withColumn("lat", geotag_lat(col("url")))
-      .withColumn("cell", cell_of(col("lon"), col("lat"), p.get("res").asInt))),
+      .withColumn("cell", cell_of(col("lon"), col("lat"), req(p, "res").asInt))),
     // P1/P3 mask_raster analog: mask col where value in values, fill
     "mask_vals" -> { (p, df) =>
-      val c = p.get("col").asText
-      val vals = p.get("values").elements.asScala.map(_.asText).toSeq
-      val fill = p.get("fill").asLong
+      val c = req(p, "col").asText
+      val vals = req(p, "values").elements.asScala.map(_.asText).toSeq
+      val fill = req(p, "fill").asLong
       df.withColumn(c + "_masked",
-        Mask.applyMask(Mask.maskCond(col(c), col(p.get("on").asText).isin(vals: _*)), fill))
+        Mask.applyMask(Mask.maskCond(col(c), col(req(p, "on").asText).isin(vals: _*)), fill))
     },
     // S3 windowed clip
-    "clip_window" -> ((p, df) => Clip.window(df, p.get("res").asInt,
-      p.get("lonMin").asDouble, p.get("latMin").asDouble,
-      p.get("lonMax").asDouble, p.get("latMax").asDouble)),
+    "clip_window" -> ((p, df) => Clip.window(df, req(p, "res").asInt,
+      req(p, "lonMin").asDouble, req(p, "latMin").asDouble,
+      req(p, "lonMax").asDouble, req(p, "latMax").asDouble)),
     // S4 polygon clip by registry name
     "clip_poly" -> ((p, df) => Clip.byPolygon(df,
-      Polygon.registry(p.get("name").asText), p.get("res").asInt)),
+      Polygon.registry(req(p, "name").asText), req(p, "res").asInt)),
     // A12/R3 rasterize to tiles
     "tile_density" -> ((p, df) => Tiles.rasterize(df,
-      p.get("res").asInt, p.get("tileRes").asInt)),
+      req(p, "res").asInt, req(p, "tileRes").asInt)),
     // R1 downsample of a (cell, v) relation
     "resample" -> ((p, df) => Resample.downsample(df,
-      p.get("col").asText, p.get("steps").asInt, p.get("agg").asText)),
+      req(p, "col").asText, req(p, "steps").asInt, req(p, "agg").asText)),
     // generic projection/filter escape hatches (SQL fragments)
     "select" -> ((p, df) =>
       df.selectExpr(p.elements.asScala.map(_.asText).toSeq: _*)),
@@ -70,7 +79,7 @@ object WorkflowJson {
     // ---- training-data pipeline steps (SURVEY §2.12) ----------------
     // exact dedup: keep the min-id doc per identical text
     "dedup_exact" -> { (p, df) =>
-      val id = p.get("id").asText; val text = p.get("text").asText
+      val id = req(p, "id").asText; val text = req(p, "text").asText
       df.join(graft.text.Dedup.exact(df, id, text)
         .select(col("keeper").as(id)), Seq(id), "left_semi")
     },
@@ -83,10 +92,10 @@ object WorkflowJson {
     // optional scale knobs: maxBucket (band-bucket cap) and
     // salvageFactor (sub-bucket salvage tier; requires maxBucket)
     "dedup_near" -> { (p, df) =>
-      val id = p.get("id").asText; val text = p.get("text").asText
-      val mh = if (p.has("maxHamming")) p.get("maxHamming").asInt else 3
-      val mb = if (p.has("maxBucket")) Some(p.get("maxBucket").asInt) else None
-      val sf = if (p.has("salvageFactor")) Some(p.get("salvageFactor").asInt)
+      val id = req(p, "id").asText; val text = req(p, "text").asText
+      val mh = if (p.has("maxHamming")) req(p, "maxHamming").asInt else 3
+      val mb = if (p.has("maxBucket")) Some(req(p, "maxBucket").asInt) else None
+      val sf = if (p.has("salvageFactor")) Some(req(p, "salvageFactor").asInt)
                else None
       require(sf.isEmpty || mb.isDefined,
         "dedup_near: salvageFactor requires maxBucket")
@@ -97,11 +106,11 @@ object WorkflowJson {
     // (params: id, text; optional minTokens, maxMeanTokLen) — the same
     // oracle-gated Clean.cleanCorpus the q_clean_corpus gate runs
     "clean_corpus" -> { (p, df) =>
-      val minTok = if (p.has("minTokens")) p.get("minTokens").asLong else 15L
+      val minTok = if (p.has("minTokens")) req(p, "minTokens").asLong else 15L
       val maxMtl =
-        if (p.has("maxMeanTokLen")) p.get("maxMeanTokLen").asDouble else 4.9
-      graft.text.Clean.cleanCorpus(df, p.get("id").asText,
-        p.get("text").asText, minTok, maxMtl)
+        if (p.has("maxMeanTokLen")) req(p, "maxMeanTokLen").asDouble else 4.9
+      graft.text.Clean.cleanCorpus(df, req(p, "id").asText,
+        req(p, "text").asText, minTok, maxMtl)
     },
     // ---- vector/embedding pipeline steps (VERDICT r3 missing #3) ----
     // embedding near-dup removal: quantize -> banded r-of-b hyperplane
@@ -110,20 +119,20 @@ object WorkflowJson {
     // numPlanes, rowsPerBand, maxBucket, salvageFactor — the same
     // three-tier bucket policy knobs as dedup_near)
     "embed_neardup" -> { (p, df) =>
-      val id = p.get("id").asText; val vec = p.get("vec").asText
-      val planes = if (p.has("numPlanes")) p.get("numPlanes").asInt else 16
-      val rows = if (p.has("rowsPerBand")) p.get("rowsPerBand").asInt else 8
+      val id = req(p, "id").asText; val vec = req(p, "vec").asText
+      val planes = if (p.has("numPlanes")) req(p, "numPlanes").asInt else 16
+      val rows = if (p.has("rowsPerBand")) req(p, "rowsPerBand").asInt else 8
       val maxBucket =
-        if (p.has("maxBucket")) Some(p.get("maxBucket").asInt) else None
+        if (p.has("maxBucket")) Some(req(p, "maxBucket").asInt) else None
       val salvage =
-        if (p.has("salvageFactor")) Some(p.get("salvageFactor").asInt)
+        if (p.has("salvageFactor")) Some(req(p, "salvageFactor").asInt)
         else None
       require(salvage.isEmpty || maxBucket.isDefined,
         "embed_neardup: salvageFactor requires maxBucket")
       val corpus = df.select(col(id).as("id"),
         graft.vector.Ann.quantize(col(vec)).as("v"))
       val pairs = graft.vector.Ann.cosineNearDupBanded(corpus,
-        p.get("dim").asInt, p.get("threshold").asDouble, planes, rows,
+        req(p, "dim").asInt, req(p, "threshold").asDouble, planes, rows,
         maxBucket, salvage)
       graft.text.Dedup.keepClusterKeepers(df, id, pairs)
     },
@@ -139,28 +148,28 @@ object WorkflowJson {
     // time (GatePlans). Method `brute` is the documented exception: it
     // counts queries at build to size its chunked-broadcast loop.
     "ann_topk" -> { (p, df) =>
-      val id = p.get("id").asText; val vec = p.get("vec").asText
-      val dim = p.get("dim").asInt; val k = p.get("k").asInt
-      val qmod = if (p.has("queryMod")) p.get("queryMod").asLong else 50L
+      val id = req(p, "id").asText; val vec = req(p, "vec").asText
+      val dim = req(p, "dim").asInt; val k = req(p, "k").asInt
+      val qmod = if (p.has("queryMod")) req(p, "queryMod").asLong else 50L
       // id % 0 is NULL in non-ANSI Spark -> silently zero queries
       require(qmod > 0, s"ann_topk queryMod must be positive, got $qmod")
       require(!p.has("trainIters"),
         "ann_topk trainIters was removed (it ran k-means jobs at plan-" +
         "build): train with a 'train_codebook' task, then pass its " +
         "sidecar as codebookPath — task compilation stays job-free")
-      require(!p.has("codebookPath") || p.get("method").asText == "ivf",
+      require(!p.has("codebookPath") || req(p, "method").asText == "ivf",
         "ann_topk codebookPath only applies to method 'ivf'")
       val corpus = df.select(col(id).as("id"),
         graft.vector.Ann.quantize(col(vec)).as("v"))
       val queries = corpus.filter(col("id") % qmod === 0)
         .select(col("id").as("qid"), col("v").as("qv"))
-      p.get("method").asText match {
+      req(p, "method").asText match {
         case "brute" => graft.vector.Ann.cosineTopK(queries, corpus, k)
         case "lsh" => graft.vector.Ann.lshTopK(queries, corpus, dim, k)
         case "ivf" =>
           val book = if (p.has("codebookPath"))
             Some(graft.vector.Ann.loadCodebook(
-              p.get("codebookPath").asText, expectDim = Some(dim)))
+              req(p, "codebookPath").asText, expectDim = Some(dim)))
           else None
           graft.vector.Ann.ivfTopK(queries, corpus, dim, k, book)
         case m => throw new IllegalArgumentException(
@@ -169,7 +178,7 @@ object WorkflowJson {
     },
     // text-quality feature columns (params: text)
     "quality" -> { (p, df) =>
-      val t = col(p.get("text").asText)
+      val t = col(req(p, "text").asText)
       df.withColumn("n_char", length(t).cast("long"))
         .withColumn("n_tok", graft.text.TextOps.nTokens(t))
         .withColumn("mean_tok_len", graft.text.TextOps.meanTokenLen(t))
@@ -177,7 +186,7 @@ object WorkflowJson {
     // language id (params: text)
     "lang_id" -> ((p, df) =>
       df.withColumn("pred_lang",
-        graft.text.TextOps.langId(col(p.get("text").asText))))
+        graft.text.TextOps.langId(col(req(p, "text").asText))))
   )
 
   def parse(json: String): JsonNode = new ObjectMapper().readTree(json)
@@ -187,7 +196,7 @@ object WorkflowJson {
     task.fieldNames.asScala.foreach { a =>
       require(Attrs.contains(a), s"unknown task attribute '$a' (allowed: $Attrs)")
     }
-    val inp = task.get("inp").asText
+    val inp = req(task, "inp").asText
     val base = inp match {
       case "pages" => Pages.fromDocuments(spark, sfDir)
       case t => Pages.table(spark, sfDir, t)
@@ -200,7 +209,12 @@ object WorkflowJson {
       val f = Ops.getOrElse(op,
         throw new IllegalArgumentException(
           s"unknown operation '$op' (allowed: ${Ops.keys.toSeq.sorted})"))
-      f(ops.get(op), df)
+      try f(ops.get(op), df)
+      catch { // name the failing operation in param errors
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"operation '$op': ${e.getMessage}", e)
+      }
     }
   }
 
@@ -212,15 +226,15 @@ object WorkflowJson {
     * besides `out` writes — search tasks consume the sidecar by
     * codebookPath with job-free compilation. */
   def trainCodebook(df: DataFrame, params: JsonNode): Unit = {
-    val vec = params.get("vec").asText
-    val dim = params.get("dim").asInt
-    val nc = if (params.has("numCentroids")) params.get("numCentroids").asInt
+    val vec = req(params, "vec").asText
+    val dim = req(params, "dim").asInt
+    val nc = if (params.has("numCentroids")) req(params, "numCentroids").asInt
              else graft.vector.Ann.NumCentroids
-    val iters = if (params.has("iters")) params.get("iters").asInt else 5
+    val iters = if (params.has("iters")) req(params, "iters").asInt else 5
     require(iters > 0, s"train_codebook iters must be positive, got $iters")
     val corpus = df.select(graft.vector.Ann.quantize(col(vec)).as("v"))
     val book = graft.vector.Ann.trainCodebook(corpus, dim, nc, iters)
-    graft.vector.Ann.saveCodebook(params.get("path").asText, book)
+    graft.vector.Ann.saveCodebook(req(params, "path").asText, book)
   }
 
   /** Compile every task; RUN the action-bearing attributes in JSON

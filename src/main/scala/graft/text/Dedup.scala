@@ -71,6 +71,11 @@ object Dedup {
     * longs, no per-row key-string building. Emits (id, band, k*). */
   def bands(sig: DataFrame, numHashes: Int = 8,
             rowsPerBand: Int = 2): DataFrame = {
+    // fail fast like every sibling banding entry point: rowsPerBand >
+    // numHashes would emit ZERO band rows (silently empty near-dup
+    // result), a non-divisor would silently ignore the hash tail
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"rowsPerBand $rowsPerBand must divide numHashes $numHashes")
     val nBands = numHashes / rowsPerBand
     val bandCols = (0 until nBands).map { b =>
       struct((lit(b).as("band") +: (0 until rowsPerBand)

@@ -94,9 +94,13 @@ object TextKernels {
     while (i < toks.length) {
       val d = GeoTag.md5Bytes(toks(i))
       val h16 = ((d(0) & 0xffL) << 8) | (d(1) & 0xffL)
-      acc += h16 * (i + 1L)
+      // reduce mod p every step: the raw sum grows ~ 2^15 * n^2 / 2 and
+      // would wrap Long (negative fingerprint) past ~2e7 tokens; each
+      // term is < 2^16 * 2^31 so the running value never overflows, and
+      // modular arithmetic makes the result identical to mod-at-end
+      acc = (acc + h16 * ((i + 1L) % 2147483647L)) % 2147483647L
       i += 1
     }
-    acc % 2147483647L
+    acc
   }
 }

@@ -105,9 +105,10 @@ object Ann {
     if (nq <= broadcastLimit) chunkTopK(q)
     else {
       // limit <= 0 is the force-fallback convention (same as lsh/ivf):
-      // chunk at 1 query per chunk rather than divide by zero
+      // chunk at 1 query per chunk rather than divide by zero; at least
+      // one chunk, or an empty query relation reduces over nothing
       val chunk = math.max(1L, broadcastLimit)
-      val nChunks = ((nq + chunk - 1) / chunk).toInt
+      val nChunks = math.max(1L, (nq + chunk - 1) / chunk).toInt
       (0 until nChunks).map { i =>
         chunkTopK(q.filter(pmod(xxhash64(col("qid")), lit(nChunks)) === i))
       }.reduce(_ unionByName _)
@@ -123,8 +124,23 @@ object Ann {
   def planeWeight(p: Int, i: Int): Long =
     ((1103515245L * (p * 64 + i) + 12345L) % 65536L) - 32768L
 
-  def planeArray(p: Int, dim: Int): Seq[Long] =
+  /** Widest embedding the LCG weight scheme supports: planeWeight and
+    * centroidWeight stride by 64 (`p * 64 + i`), so dim > 64 would make
+    * consecutive planes/centroids overlapping shifted copies of each
+    * other — correlated hyperplanes, silently degraded recall. The
+    * stride is load-bearing (the DuckDB oracle replays the same LCG),
+    * so wider embeddings need a new weight family, not a bigger dim. */
+  val MaxDim = 64
+
+  private[graft] def requireDim(dim: Int): Unit =
+    require(dim >= 1 && dim <= MaxDim,
+      s"dim $dim outside [1, $MaxDim]: the LCG plane/centroid weights " +
+        "stride by 64 — wider dims alias into each other")
+
+  def planeArray(p: Int, dim: Int): Seq[Long] = {
+    requireDim(dim)
     (0 until dim).map(i => planeWeight(p, i))
+  }
 
   /** numPlanes-bit signature: bit p set iff dot(plane_p, qv) > 0
     * (exact ints). */
@@ -226,8 +242,10 @@ object Ann {
   val NumProbes = 2
   def centroidWeight(c: Int, i: Int): Long =
     ((1103515245L * (c * 64 + i) + 54321L) % 12001L) - 6000L
-  def centroidArray(c: Int, dim: Int): Seq[Long] =
+  def centroidArray(c: Int, dim: Int): Seq[Long] = {
+    requireDim(dim) // same 64-stride aliasing hazard as planeArray
     (0 until dim).map(i => centroidWeight(c, i))
+  }
 
   /** Nearest-centroid cell of a quantized vector: score_c = |c|^2 −
     * 2 c·v (the |v|^2 term is row-constant and drops out of the
@@ -287,6 +305,14 @@ object Ann {
           .groupBy("cid", "d")
           .agg(sum("x").as("s"), count(lit(1)).as("n"))
           .collect()
+        // the collected (cid, d) rows carry the corpus's ACTUAL vector
+        // width — fail fast on a dim mismatch instead of indexing past
+        // a codebook row (longer vectors) or silently leaving stale LCG
+        // tails in every centroid (shorter vectors)
+        val maxD = // empty corpus: keep the init book, train nothing
+          if (sums.isEmpty) dim - 1 else sums.iterator.map(_.getInt(1)).max
+        require(maxD == dim - 1,
+          s"trainCodebook: corpus vectors have ${maxD + 1} dims, dim=$dim")
         val next = book.map(_.toArray).toArray
         sums.foreach { r =>
           val cid = r.getInt(0)

@@ -218,6 +218,14 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     })
   }
 
+  test("knnJoin: empty points input returns an empty frame, not null") {
+    val pts = Seq.empty[(Long, Double, Double)].toDF("qid", "qlon", "qlat")
+    val pages = Seq((1L, 2.0, 3.0)).toDF("id", "lon", "lat")
+      .withColumn("cell", graft.functions.cell_of($"lon", $"lat", 8))
+    val out = graft.ops.Knn.knnJoin(pts, pages, 8, 3)
+    assert(out != null && out.count() == 0L)
+  }
+
   test("knn relational bookkeeping path == driver IN-list path") {
     val pts = (0L until 6L).map(i => (i, -10.0 + i * 4.0, 5.0 + i))
       .toDF("qid", "qlon", "qlat")
