@@ -35,6 +35,18 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // AQE partition coalescing for CACHED plans too (default false):
+      // without it every .cache() materializes at shuffle.partitions and
+      // every stage reading it inherits that width — the multi-pass
+      // pipelines (dedup verify, CC rounds, calibration passes, pyramid
+      // levels) ran 32 tasks per pass over kilobyte-scale cached
+      // relations (round-6 profile: q_calibrate_e2e 362 tasks,
+      // q_pyramid 903). With the flag, AQE sizes cached output from
+      // observed bytes (advisoryPartitionSizeInBytes) — scale-adaptive
+      // on a cluster, not a local-mode constant. Results are
+      // partitioning-independent by engine contract (exact aggregates,
+      // explicit tiebreaks).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 }

@@ -442,6 +442,29 @@ case class ShinglesK(left: Expression, right: Expression)
       l: Expression, r: Expression): ShinglesK = copy(l, r)
 }
 
+/** minhash_sigs(text, k, numHashes): the full per-document MinHash
+  * signature as one kernel call (TextKernels.minhashSigs — round-6:
+  * replaces the explode -> md5_words -> groupBy-min shuffle; md5 runs
+  * once per DISTINCT in-document shingle+salt). Empty array when the
+  * text has fewer than k tokens (callers filter size > 0, matching the
+  * aggregated path's absent row). */
+case class MinhashSigs(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes % 4 == 0, "numHashes must be a multiple of 4")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sigs"
+  protected override def nullSafeEval(text: Any): Any =
+    graft.text.TextKernels.minhashSigs(
+      text.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.text.TextKernels.minhashSigs($t, $k, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): MinhashSigs =
+    copy(child = c)
+}
+
 /** md5_words(s): the 4 unsigned 32-bit words of md5(s) — one digest,
   * four independent hashes (the minhash family). */
 case class Md5Words(child: Expression) extends UnaryExpression with ExpectsInputTypes {

@@ -61,6 +61,11 @@ package object functions {
   /** The 4 unsigned 32-bit md5 words (one digest, 4 hashes). */
   def md5_words(s: Column): Column = toCol(Md5Words(toExpr(s)))
 
+  /** Full per-document MinHash signature (one kernel pass; empty array
+    * when the text has fewer than k tokens). */
+  def minhash_sigs(text: Column, k: Int, numHashes: Int): Column =
+    toCol(MinhashSigs(toExpr(text), k, numHashes))
+
   /** Exact integer dot product of two long-array columns (codegen'd). */
   def dot_q(a: Column, b: Column): Column = toCol(DotQ(toExpr(a), toExpr(b)))
 

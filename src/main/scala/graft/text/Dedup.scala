@@ -274,7 +274,18 @@ object Dedup {
                  setBroadcastBytes: Long = SetVerifyBroadcastBytes,
                  salvageFactor: Option[Int] = None): DataFrame = {
     val shAll = docShinglesAll(df, idCol, textCol, k)
-    val bnd = bands(minhash(shAll, numHashes), numHashes, rowsPerBand).cache()
+    // signatures via the per-row kernel (round-6): one pass over the
+    // corpus, no occurrence explode, no groupBy-min shuffle — md5 runs
+    // once per distinct in-document shingle+salt. Bit-identical to
+    // bands(minhash(shAll)) (DedupAnnSpec parity); docs shorter than k
+    // tokens produce an empty signature and drop, exactly like the
+    // aggregated path's absent row.
+    val sig = df.select(col(idCol).as("id"),
+        graft.functions.minhash_sigs(col(textCol), k, numHashes).as("mh"))
+      .filter(size(col("mh")) > 0)
+      .select(col("id") +: (0 until numHashes)
+        .map(i => element_at(col("mh"), i + 1).as(s"m$i")): _*)
+    val bnd = bands(sig, numHashes, rowsPerBand).cache()
     val cand = candidates(bnd, maxBucket, salvageFactor).cache()
     // no distinct: a semi-join right side tolerates duplicates, and the
     // distinct would cost one more (tiny but scheduled) shuffle
@@ -497,9 +508,13 @@ object Dedup {
       else df.localCheckpoint(true)
     // cache the edge relation: every propagation round joins against it,
     // and the upstream pair pipeline (band joins, verifies) must not
-    // re-execute per round
-    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // re-execute per round. ONE pass via explode — the old
+    // union(select(a,b), select(b,a)) executed the whole upstream pair
+    // pipeline twice to fill this cache (round-6 profile evidence).
+    val e = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
       .cache()
     // checkpoint (eager), NOT cache: each round's relation is
     // defined in terms of the previous one (twice, via the hop
@@ -527,20 +542,31 @@ object Dedup {
     try {
       var round = 0
       while (!converged && round < maxRounds) {
-        // neighbor labels, then one pointer-doubling hop: label-of-label
-        val viaNeighbor = e.alias("e")
-          .join(lab.alias("nl"), col("e.dst") === col("nl.id"))
-          .select(col("e.src").as("id"), col("nl.label").as("label"))
-        val hop = lab.alias("l1")
-          .join(lab.alias("l2"), col("l1.label") === col("l2.id"))
-          .select(col("l1.id").as("id"), col("l2.label").as("label"))
-        val next = pin(lab.select("id", "label")
-          .union(viaNeighbor).union(hop)
-          .groupBy("id").agg(min("label").as("label")))
+        // ROUND = ONE join (round-6 rework; the old round ran TWO joins
+        // — e⋈lab for neighbor labels plus lab⋈lab for the pointer
+        // hop — and then a THIRD join to count changed labels, ~11 AQE
+        // stage-jobs per round of kilobyte shuffles). The label table
+        // is itself an edge set (id -> label), so augmenting e with the
+        // label edges and joining ONCE against lab yields, per id, both
+        // the neighbor labels (via e rows) and lab(label) (via the
+        // label edge) — pointer doubling included. min(neighbor labels,
+        // lab(label)) equals the old min(label, ...) because labels are
+        // monotone non-increasing (lab(label) <= label always), and the
+        // FIXPOINT is unchanged: stable iff every edge's endpoints
+        // agree, i.e. min id per connected component. The label edge
+        // also carries the id's CURRENT label as `old`, so the changed
+        // count becomes a filter over the (checkpointed) round output —
+        // no third join.
+        val g = e.unionByName(
+          lab.select(col("id").as("src"), col("label").as("dst"),
+            col("label").as("old")), allowMissingColumns = true)
+        val next = pin(g
+          .join(lab.select(col("id").as("dst"), col("label").as("nlabel")),
+            Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min("nlabel").as("label"), max("old").as("old")))
         inFlight = next
-        val changed = next
-          .join(lab.withColumnRenamed("label", "old_label"), Seq("id"))
-          .filter(col("label") =!= col("old_label")).count()
+        val changed = next.filter(col("label") =!= col("old")).count()
         // the superseded round's checkpoint blocks are dead the moment
         // `changed` has been counted — release them explicitly
         // (Dataset.unpersist is a no-op for checkpoints, and waiting for

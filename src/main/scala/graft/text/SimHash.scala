@@ -35,19 +35,31 @@ object SimHash {
     v >>> 4
   }
 
-  /** 60-bit simhash of a space-tokenized text. */
+  /** 60-bit simhash of a space-tokenized text. Round-6: tokens are
+    * COUNTED first so md5 runs once per DISTINCT token and the 60-bit
+    * vote loop adds the count (votes are integer sums — identical at
+    * any iteration order, bit-identical to the one-occurrence-at-a-time
+    * formulation; real corpora repeat tokens heavily, so this trades a
+    * small hash map for most of the digest work). */
   def sig60(text: String): Long = {
     val toks = text.split(" ", -1) // keep empties: split(text," ") parity
-    val votes = new Array[Int](Bits)
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
     var t = 0
     while (t < toks.length) {
-      val h = h60(toks(t))
+      counts.merge(toks(t), 1, (a, b) => a + b)
+      t += 1
+    }
+    val votes = new Array[Int](Bits)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      val h = h60(en.getKey)
+      val c: Int = en.getValue
       var b = 0
       while (b < Bits) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
         b += 1
       }
-      t += 1
     }
     var sig = 0L
     var b = 0

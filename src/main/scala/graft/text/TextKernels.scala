@@ -43,6 +43,57 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Full per-document MinHash signature in ONE kernel pass (round-6):
+    * tokenize, build the k-shingles, and take the numHashes 32-bit
+    * minima directly — md5 runs once per DISTINCT in-document shingle
+    * and salt (min is idempotent over duplicates, so skipping repeats
+    * is exact), and the whole explode -> md5-projection -> groupBy-min
+    * SHUFFLE of the (id, shingle) occurrence relation disappears from
+    * the minhash pipeline. Hash family and index order are EXACTLY
+    * [[md5Words]] over `shingle` / `shingle#salt`: sig[s*4+w] = word w
+    * of md5(salted shingle) — bit-identical to the aggregated path
+    * (DedupAnnSpec pins the parity). Fewer than k tokens -> EMPTY array
+    * (the aggregated path emits no row; callers filter size > 0). */
+  def minhashSigs(text: UTF8String, k: Int, numHashes: Int): GenericArrayData = {
+    val toks = splitTokens(text.toString)
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val nSalts = numHashes / 4
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[String](n * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        var s = 0
+        while (s < nSalts) {
+          val d = GeoTag.md5Bytes(if (s == 0) sh else sh + "#" + s)
+          var w = 0
+          while (w < 4) {
+            val o = w * 4
+            val h = ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+              ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+            val idx = s * 4 + w
+            if (h < mins(idx)) mins(idx) = h
+            w += 1
+          }
+          s += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
   /** The 4 big-endian unsigned 32-bit words of md5(s) — ONE digest for
     * four independent 32-bit hashes (minhash's hash family; word 0 ==
     * the oracle's h32FromMd(md5_hex, 0), word i == offset 8i). */

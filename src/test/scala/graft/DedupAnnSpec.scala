@@ -31,6 +31,29 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(sh(5L) == 0 && sh(1L) == 6) // 8 tokens -> 6 shingles
   }
 
+  test("minhash_sigs kernel == aggregated minhash, 8 and 128 hashes") {
+    // round-6 parity gate for the per-row signature kernel: identical
+    // values per doc, identical doc set (short docs drop both ways) —
+    // incl. a doc with REPEATED shingles (the within-row dedup path)
+    val rep = docs.union(Seq(
+      (6L, "x y z x y z x y z"), // repeated shingles
+      (7L, "a b c")              // exactly k tokens -> 1 shingle
+    ).toDF("doc_id", "text"))
+    for (nh <- Seq(4, 8, 128)) {
+      val agg = Dedup.minhash(
+          Dedup.docShinglesAll(rep, "doc_id", "text"), nh)
+        .collect().map(r => r.getLong(0) ->
+          (1 to nh).map(i => r.getLong(i)).toSeq).toMap
+      val kern = rep.select(col("doc_id"),
+          graft.functions.minhash_sigs(col("text"), 3, nh).as("mh"))
+        .filter(size(col("mh")) > 0)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Long](1).toSeq).toMap
+      assert(kern == agg, s"numHashes=$nh")
+      assert(!kern.contains(5L)) // too-short doc absent on both paths
+    }
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 0.4)
       .select("id_a", "id_b", "jaccard").collect()
