@@ -155,8 +155,13 @@ object Knn {
       results = if (results == null) brute else results.unionByName(brute)
     }
     // an empty points input never assigns results (no rounds, no
-    // residue): return an EMPTY frame of the output schema, not null
-    if (results == null) topkOf(pages.crossJoin(broadcast(pending.drop("qcell"))))
+    // residue): return an EMPTY frame of the output schema, not null.
+    // pages.limit(0) keeps the plan schema-identical with ZERO IO
+    // (ADVICE r5 #3: the unlimited form planned a
+    // BroadcastNestedLoopJoin that streamed the full pages relation
+    // just to produce no rows).
+    if (results == null)
+      topkOf(pages.limit(0).crossJoin(broadcast(pending.drop("qcell"))))
     else results
   }
 }

@@ -45,14 +45,18 @@ object Pages {
     spark.read.schema(schemaOf(spark, path)).parquet(path)
   }
 
-  /** (path, root mtime, root length) -> schema, session-independent.
-    * The mtime/length in the key is the staleness guard: a table
-    * REWRITTEN at the same path in one long-lived JVM (a workflow whose
-    * `out` a later run reads back via `inp`) gets a fresh footer read
-    * instead of the old schema; immutable inputs still hit the memo on
-    * every call after the first. */
-  private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+  /** path -> (mtime:length stamp, schema), session-independent. The
+    * stamp is the staleness guard: a table REWRITTEN at the same path
+    * in one long-lived JVM (a workflow whose `out` a later run reads
+    * back via `inp`) gets a fresh footer read instead of the old
+    * schema; immutable inputs still hit the memo on every call after
+    * the first. Keyed by PATH with the stamp in the VALUE (ADVICE r5
+    * #2: stamp-in-key accumulated one dead entry per rewrite forever,
+    * and the getFileStatus-failure fallback silently reintroduced the
+    * stale path-only key) — a replaced stamp evicts its predecessor,
+    * so the memo is bounded by the number of distinct paths. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   /** Schema of a parquet input table WITHOUT a Spark job: a schema-less
     * `spark.read.parquet` runs footer-based inference as a distributed
@@ -68,17 +72,23 @@ object Pages {
     * Driver footer IO is how Spark itself bounds metadata cost; one
     * footer per distinct path per JVM, memoized. */
   def schemaOf(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
-    val key = try {
+    // a failed getFileStatus (e.g. some object stores) degrades to a
+    // fixed stamp: the schema still memoizes per path (bounded), at the
+    // documented cost that rewrites behind such a store are not
+    // detected within one JVM
+    val stamp = try {
       val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       val root = new org.apache.hadoop.fs.Path(path)
       val st = root.getFileSystem(cs.sessionState.newHadoopConf()).getFileStatus(root)
-      s"$path@${st.getModificationTime}:${st.getLen}"
-    } catch { case scala.util.control.NonFatal(_) => path }
-    schemaMemo.computeIfAbsent(key, { _ =>
-      try driverFooterSchema(spark, path)
-      catch { case scala.util.control.NonFatal(_) =>
-        spark.read.parquet(path).schema }
-    })
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case scala.util.control.NonFatal(_) => "unstamped" }
+    schemaMemo.compute(path, { (_, prev) =>
+      if (prev != null && prev._1 == stamp) prev
+      else (stamp,
+        try driverFooterSchema(spark, path)
+        catch { case scala.util.control.NonFatal(_) =>
+          spark.read.parquet(path).schema })
+    })._2
   }
 
   private def driverFooterSchema(

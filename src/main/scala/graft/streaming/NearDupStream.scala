@@ -116,15 +116,23 @@ object NearDupStream {
         val out = Seq.newBuilder[P]
         events.foreach { e =>
           val eMs = e.ts.getTime
-          val ev = Entry(e.doc_id, e.sig, e.toks, eMs)
           // at-least-once upstream: a redelivered doc REPLACES its old
           // entry (same pairs would re-emit against a duplicate entry,
-          // and the duplicate would waste a cap slot)
+          // and the duplicate would waste a cap slot) but KEEPS the
+          // earliest timestamp (ADVICE r5 #4: adopting the redelivery's
+          // ts would silently extend the doc's pairing horizon past its
+          // original event time — the batch twin keys ONE ts per doc).
+          // The kept ts drives both the window check and the emitted
+          // pair ts, so a redelivery can never emit a pair the
+          // first-delivery ordering would not.
+          val keptMs = entries.find(_.id == e.doc_id)
+            .map(o => math.min(o.tsMs, eMs)).getOrElse(eMs)
+          val ev = Entry(e.doc_id, e.sig, e.toks, keptMs)
           entries = entries.filterNot(_.id == e.doc_id)
           entries.foreach { o =>
-            if (math.abs(eMs - o.tsMs) <= horizonMs) {
+            if (math.abs(ev.tsMs - o.tsMs) <= horizonMs) {
               val (lo, hi) = if (o.id < ev.id) (o, ev) else (ev, o)
-              val ts = new java.sql.Timestamp(math.max(eMs, o.tsMs))
+              val ts = new java.sql.Timestamp(math.max(ev.tsMs, o.tsMs))
               make(lo, hi, e.band, ts).foreach(out += _)
             }
           }

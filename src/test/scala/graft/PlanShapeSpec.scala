@@ -21,6 +21,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_knn") != null) // driver-loop; probe side broadcast per round
   }
 
+  test("extract points broadcast is byte-gated (both sides of the gate)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // small side (labeled points): the hint fires -> BroadcastHashJoin
+    val raster = Seq((1L, 10L)).toDF("cell", "b1")
+    val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "lon", "lat")
+    val smallPlan = graft.ops.Extract.extract(pts, raster, 8, Seq("b1"))
+      .queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin"), smallPlan)
+    // huge side (stats estimate over the byte bound): no forced hint —
+    // the plain equi-join plans (shuffle strategy, AQE decides at run
+    // time). Plan-only assertion: nothing executes.
+    val huge = spark.range(2_000_000_000L)
+      .select(col("id").as("pid"),
+        (col("id") % 360 - 180).cast("double").as("lon"),
+        (col("id") % 180 - 90).cast("double").as("lat"))
+    val bigPlan = graft.ops.Extract.extract(huge, raster, 8, Seq("b1"))
+      .queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin") ||
+      !bigPlan.contains("BuildRight"),
+      s"over-bound points side still forced broadcast:\n$bigPlan")
+  }
+
   test("tile rollup aggregates partially before the exchange") {
     val p = plan("q_tile_density")
     val firstAgg = p.indexOf("HashAggregate")
