@@ -503,9 +503,14 @@ object Dedup {
     // restored to none (no public unset API) — documented side effect.
     val prevCheckpointDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
+    // LAZY local checkpoint (round-6): the per-round `changed` count is
+    // the materializing action, so each round runs ONE pass instead of
+    // an eager-checkpoint pass plus a count pass. Durable mode keeps
+    // the eager reliable checkpoint (lazy reliable checkpoints recompute
+    // the lineage a second time to write the files).
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      else df.localCheckpoint(false)
     // cache the edge relation: every propagation round joins against it,
     // and the upstream pair pipeline (band joins, verifies) must not
     // re-execute per round. ONE pass via explode — the old
@@ -557,6 +562,10 @@ object Dedup {
         // also carries the id's CURRENT label as `old`, so the changed
         // count becomes a filter over the (checkpointed) round output —
         // no third join.
+        // (A two-steps-per-checkpoint variant was measured and REVERTED:
+        // the outer step references its unpinned input twice — union
+        // and join side — so the inner step's subtree executed twice
+        // per round and the composite cost more than it saved.)
         val g = e.unionByName(
           lab.select(col("id").as("src"), col("label").as("dst"),
             col("label").as("old")), allowMissingColumns = true)
