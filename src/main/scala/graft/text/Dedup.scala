@@ -486,6 +486,15 @@ object Dedup {
     * Beyond-reference operator (builder mandate): the reference emits
     * pair lists only. Caches each round's label relation; caller owns
     * the lifetime of the returned (final) relation. */
+  /** Label-table row bound for broadcasting the label side of the CC
+    * round join (the BroadcastCandLimit discipline): the id set is
+    * FIXED after seeding — labels change value, never cardinality — so
+    * one count decides the strategy for every round. Under the limit
+    * the round join is a broadcast hash join (the only exchange left
+    * per round is the groupBy); over it, the shuffled equi-join is the
+    * right 100-TB plan. ~24 bytes/row. */
+  val BroadcastLabelLimit = 1_000_000L
+
   def clusters(pairs: DataFrame, maxRounds: Int = 50,
                checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -537,6 +546,13 @@ object Dedup {
       .select(col("src").as("id"),
         least(col("src"), col("nmin")).as("label")))
     var converged = false
+    // the id set is fixed for the whole loop (labels change value,
+    // never cardinality): ONE count over the checkpointed seed gates
+    // the round join's broadcast for every round (round-6 — under the
+    // limit only the groupBy exchange remains per round)
+    val labelHint: DataFrame => DataFrame =
+      if (lab.count() <= BroadcastLabelLimit) df => broadcast(df)
+      else df => df
     // the relation pinned this round but not yet promoted to `lab` —
     // a failure between pin(next) and `lab = next` must release BOTH
     // (ADVICE r4 #4: the finally block used to leak next's files)
@@ -570,7 +586,8 @@ object Dedup {
           lab.select(col("id").as("src"), col("label").as("dst"),
             col("label").as("old")), allowMissingColumns = true)
         val next = pin(g
-          .join(lab.select(col("id").as("dst"), col("label").as("nlabel")),
+          .join(labelHint(
+            lab.select(col("id").as("dst"), col("label").as("nlabel"))),
             Seq("dst"))
           .groupBy(col("src").as("id"))
           .agg(min("nlabel").as("label"), max("old").as("old")))
