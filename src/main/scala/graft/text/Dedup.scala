@@ -406,6 +406,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hot-shingle count bound for BROADCASTING the df > cap shingle set
+    * into the rare/hot occurrence split (round-6). A cap that is doing
+    * its job leaves FEW hot shingles (boilerplate n-grams), so the
+    * split is two map-side anti/semi joins against a broadcast set and
+    * the full occurrence relation never shuffles by shingle just to
+    * learn its df. Rows are short strings (tens of bytes); beyond the
+    * limit the shuffled df-tagging join remains the 100-TB-safe plan. */
+  val BroadcastHotShingleLimit = 2_000_000L
+
   /** Exact n-gram-Jaccard near-dup via the inverted shingle index
     * (no LSH): every pair sharing >= 1 shingle is scored exactly.
     *
@@ -419,7 +428,9 @@ object Dedup {
     * missed (the standard recall trade; None = fully exact). */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, k: Int = 3,
-                   maxDf: Option[Int] = None): DataFrame = {
+                   maxDf: Option[Int] = None,
+                   hotBroadcastLimit: Long = BroadcastHotShingleLimit)
+                  : DataFrame = {
     val sh = docShingles(df, idCol, textCol, k).cache()
     maxDf match {
       case Some(cap) =>
@@ -429,13 +440,31 @@ object Dedup {
         // by joining the (small) hot occurrence rows against the
         // candidate pairs only — the full-set Jaccard stays exact while
         // nothing quadratic ever touches a hot shingle
-        // tag every occurrence with its shingle's document frequency in
-        // ONE join (two separate semi-joins would compute the df
-        // aggregate twice), then split rare/hot by filter
         val dfRel = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val withDf = sh.join(dfRel, Seq("shingle")).cache()
-        val rare = withDf.filter(col("df") <= cap).drop("df")
-        val hot = withDf.filter(col("df") > cap).drop("df")
+        // rare/hot split (round-6): the occurrences only need a BINARY
+        // df <= cap decision, not the df value — and the hot set
+        // (df > cap) is small by construction wherever the cap is
+        // meaningful, so under the count gate it broadcasts and the
+        // split is two map-side anti/semi joins over the cached shingle
+        // relation (the old shape shuffled EVERY occurrence through a
+        // join with the df table just to read one bit of it). Over the
+        // gate — a corpus whose boilerplate is so diverse that hot
+        // shingles alone outgrow a broadcast — the shuffled df-tagging
+        // join stays the plan.
+        val hotShingles = dfRel.filter(col("df") > cap).select("shingle")
+          .cache()
+        val (rare, hot) =
+          if (hotShingles.count() <= hotBroadcastLimit) {
+            (sh.join(broadcast(hotShingles), Seq("shingle"), "left_anti"),
+              sh.join(broadcast(hotShingles), Seq("shingle"), "left_semi"))
+          } else {
+            // tag every occurrence with its shingle's document frequency
+            // in ONE join (two separate semi-joins would compute the df
+            // aggregate twice), then split rare/hot by filter
+            val withDf = sh.join(dfRel, Seq("shingle")).cache()
+            (withDf.filter(col("df") <= cap).drop("df"),
+              withDf.filter(col("df") > cap).drop("df"))
+          }
         val a = rare.alias("a"); val b = rare.alias("b")
         val commonRare = a.join(b, col("a.shingle") === col("b.shingle") &&
             col("a.id") < col("b.id"))

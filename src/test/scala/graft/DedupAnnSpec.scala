@@ -138,6 +138,27 @@ class DedupAnnSpec extends AnyFunSuite with PropHelper {
     assert(cap1.isEmpty)
   }
 
+  test("ngram df-cap: broadcast hot-set split == shuffled df-tagging") {
+    // cap 2 exercises BOTH tiers on the fixture: the 5 shingles shared
+    // by docs 1/2/3 are hot (df 3), docs 1/2's tail shingle is rare
+    // (df 2) -> pair (1,2) is a rare candidate whose common count needs
+    // the hot add-back (5 hot + 1 rare = all 6 shingles, jaccard 1.0).
+    // hotBroadcastLimit = 0 forces the shuffled fallback; identical
+    // rows either way (round-6 gate parity, the minhash-verify pattern).
+    def rows(limit: Long) = Dedup.ngramJaccard(docs, "doc_id", "text",
+        0.3, maxDf = Some(2), hotBroadcastLimit = limit)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        (r.getAs[Long]("common"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("jaccard")))).toMap
+    val bcast = rows(Dedup.BroadcastHotShingleLimit)
+    val shuffled = rows(0L)
+    assert(bcast == shuffled)
+    assert(bcast((1L, 2L)) == ((6L, 6L, 6L, 1.0)))
+    // the hot-only pair (1,3) is correctly absent: nothing rarer than
+    // the cap is shared
+    assert(!bcast.contains((1L, 3L)))
+  }
+
   val vecs = (0L until 20L).map { i =>
     val rnd = new scala.util.Random(i)
     (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))
