@@ -53,6 +53,21 @@ object ScalingDedup {
       .toDF("doc_id", "text")
   }
 
+  /** The text corpus with a CONSTANT boilerplate trailer on every doc:
+    * the pure-trailer 3-shingles have df = nDocs — hot at any cap and
+    * any scale — so the capped ngram leg exercises every piece of the
+    * round-6 split: rare-shingle candidate generation, the broadcast
+    * hot set (O(1) rows however large the corpus), and the hot
+    * add-back contributing to every candidate pair's |A∩B|. This is
+    * the fixed-boilerplate shape of a real crawl (headers/footers
+    * shared corpus-wide). */
+  def boilerCorpus(s: SparkSession, nDocs: Long, parts: Int): DataFrame = {
+    import s.implicits._
+    s.range(0, nDocs, 1, parts)
+      .map(id => (id, docText(id) + " zqa zqb zqc zqd"))
+      .toDF("doc_id", "text")
+  }
+
   /** Deterministic embedding corpus with the same fixed-dup-rate
     * structure as the text corpus (VERDICT r4 next #4: the vector
     * family needs the same measured linearity evidence as text dedup):
@@ -129,6 +144,12 @@ object ScalingDedup {
       // default-config behavior report.
       Job("minhash-pair", corpus, c => Dedup.minhashLsh(c, "doc_id", "text",
         0.4, maxBucket = Some(64), setVerifyLimit = 0L)),
+      // capped ngram-Jaccard over the boilerplate corpus (round-6 #7):
+      // candidates from rare shingles, hot set broadcast (its size is
+      // CONSTANT as the corpus grows — the trailer shingles), hot
+      // add-back on every pair. Linear candidates by construction.
+      Job("ngram-cap", boilerCorpus, c => Dedup.ngramJaccard(
+        c, "doc_id", "text", 0.4, maxDf = Some(8))),
       // the vector family: banded hyperplane blocking + exact-cosine
       // verify over the synthetic embedding corpus (same linearity
       // contract, measured with the same 4x protocol). Band selectivity
